@@ -1,0 +1,136 @@
+"""Command-line interface.
+
+Mirror of the reference's getopt_long surface (normalise_kmers_multi_large.c
+:492-518 print_usage, :543-560 long_options), including the multi-value -f/-r
+greediness (file flags consume following argv tokens until the next dash,
+:747-832) and the skip-unreadable-files-with-warning behaviour (:763,:782).
+TPU-native extensions are grouped separately.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from nomalise_kmers_multi_large_tpu import VERSION
+from nomalise_kmers_multi_large_tpu.config import Config, ConfigError
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="normalise-kmers-tpu",
+        description=(
+            "TPU-native digital normalization of FASTQ/FASTA reads "
+            "(drop-in capabilities of normalise_kmers_multi_large)"
+        ),
+    )
+    p.add_argument("--forward", "-f", nargs="+", default=[], metavar="FILE",
+                   help="List of forward (read1) sequence files")
+    p.add_argument("--reverse", "-r", nargs="+", default=[], metavar="FILE",
+                   help="List of reverse (read2) sequence files")
+    p.add_argument("--single", "-s", action="store_true",
+                   help="data are single ended; unmatched --forward files are single-end")
+    p.add_argument("--ksize", "-k", type=int, default=15,
+                   help="kmer size (5-31; def. 15)")
+    p.add_argument("--depth", "-d", type=int, default=100,
+                   help="count at which a kmer is tagged high coverage (def. 100)")
+    p.add_argument("--coverage", "-g", type=float, default=0.9,
+                   help="proportion (0-1) of sequence covered by high-coverage kmers "
+                        "before tagging as redundant (def. 0.9)")
+    p.add_argument("--canonical", "-c", action="store_true",
+                   help="merge kmers with their reverse complements")
+    p.add_argument("--filetype", "-t", default="fq", help="input format fq|fa (def. fq)")
+    p.add_argument("--outformat", "-o", default="fq", help="output format fq|fa (def. fq)")
+    p.add_argument("--memory_start", "-m", type=int, default=0,
+                   help="initial table memory in Gb across all shards")
+    p.add_argument("--cpu", "-p", type=int, default=1,
+                   help="number of independent shards (reference: threads)")
+    p.add_argument("--verbose", "-e", action="store_true", help="entertain the user")
+    p.add_argument("--debug", "-b", type=int, default=0, help="annoy the developer")
+    p.add_argument("--print", "-P", dest="print_table", action="store_true",
+                   help="print tab-delimited kmer count tables")
+    p.add_argument("--version", "-v", action="store_true", help="print version and exit")
+
+    tpu = p.add_argument_group("TPU-native options")
+    tpu.add_argument("--batch-reads", type=int, default=8192,
+                     help="reads (or pairs) per device batch")
+    tpu.add_argument("--mode", choices=["exact", "relaxed"], default="exact",
+                     help="exact = reference-sequential semantics via sort-based "
+                          "ranks; relaxed = pair-local ranks (batch-order independent)")
+    tpu.add_argument("--table", choices=["auto", "direct", "hashed"], default="auto")
+    tpu.add_argument("--out-dir", default=".", help="output directory")
+    tpu.add_argument("--pair-rule", choices=["and", "avg"], default="and",
+                     help="pair keep rule: per-mate AND (reference) or pooled average")
+    tpu.add_argument("--sharding", choices=["local", "global"], default="local",
+                     help="multi-device mode: local per-device tables (Mode A) or a "
+                          "globally sharded exact table (Mode B)")
+    tpu.add_argument("--devices", type=int, default=0,
+                     help="number of devices to use (0 = all local devices)")
+    tpu.add_argument("--checkpoint-every", type=int, default=0,
+                     help="checkpoint the table + stream position every N batches")
+    tpu.add_argument("--checkpoint-dir", default=".checkpoints")
+    tpu.add_argument("--resume", action="store_true",
+                     help="resume from the latest checkpoint")
+    return p
+
+
+def _readable(files, what: str) -> tuple[str, ...]:
+    """Reference behaviour: unreadable files are skipped with a warning
+    (:763,:782), not fatal."""
+    keep = []
+    for f in files:
+        if os.access(f, os.R_OK):
+            keep.append(f)
+        else:
+            print(f"Warning: cannot read {what} file {f}, skipping", file=sys.stderr)
+    return tuple(keep)
+
+
+def config_from_args(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(VERSION)
+        raise SystemExit(0)
+    return Config(
+        forward_files=_readable(args.forward, "forward"),
+        reverse_files=_readable(args.reverse, "reverse"),
+        ksize=args.ksize,
+        depth=args.depth,
+        coverage=args.coverage,
+        canonical=args.canonical,
+        informat=args.filetype,
+        outformat=args.outformat,
+        shards=args.cpu,
+        memory_gb=args.memory_start,
+        verbose=args.verbose,
+        debug=args.debug,
+        single=args.single,
+        print_table=args.print_table,
+        batch_reads=args.batch_reads,
+        mode=args.mode,
+        table=args.table,
+        out_dir=args.out_dir,
+        pair_rule=args.pair_rule,
+        sharding=args.sharding,
+        n_devices=args.devices,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+    ).validate()
+
+
+def main(argv=None) -> int:
+    try:
+        cfg = config_from_args(argv)
+    except ConfigError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        build_parser().print_usage(sys.stderr)
+        return 1
+    from nomalise_kmers_multi_large_tpu.engine.pipeline import run
+
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,175 @@
+"""The jitted per-batch device step: encode -> rank -> count -> classify.
+
+This one compiled function is the TPU replacement for the reference's whole
+per-thread hot loop (``process_thread_chunk_paired``
+normalise_kmers_multi_large.c:1568-1770 and ``sequence_to_hash`` :1459-1499): where
+the reference walks one k-mer at a time through a CPU hash table, this processes
+every k-mer of every read in the batch as one dataflow graph:
+
+  bases[R, L] --encode--> codes[R, W] --flatten+sort--> ranked stream
+       --table upsert (aggregated)--> observed counts --unsort+reduce--> keep[B]
+
+Exactness: with ``mode='exact'`` the sort-based ranks reproduce the reference's
+sequential upsert-then-test semantics for ANY batch size (see ops/streamrank.py).
+``mode='relaxed'`` keeps ranks sequential only within a read pair (reads in the
+same batch don't see each other's counts) — the same kind of relaxation the
+reference itself accepts across threads (README.md:68) — and skips the global sort.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nomalise_kmers_multi_large_tpu.models.diginorm import (
+    keep_mask_paired,
+    keep_mask_single,
+)
+from nomalise_kmers_multi_large_tpu.ops.codec import (
+    encode_windows_canonical,
+    window_validity,
+)
+from nomalise_kmers_multi_large_tpu.ops.streamrank import (
+    SortedStream,
+    sorted_occurrence_stream,
+)
+from nomalise_kmers_multi_large_tpu.table.base import CountTable, TableState
+
+
+class StepStats(NamedTuple):
+    processed: jax.Array  # int32 [] valid records/pairs in this batch
+    printed: jax.Array    # int32 []
+    skipped: jax.Array    # int32 []
+
+
+class BatchStep:
+    """Factory for the jitted batch functions of one table shard.
+
+    Static configuration is bound at construction so the jitted callables close
+    over Python ints/bools (k, coverage, ...) and stay retrace-free.
+    """
+
+    def __init__(
+        self,
+        table: CountTable,
+        *,
+        k: int,
+        depth_per_shard: int,
+        coverage: float,
+        canonical: bool,
+        paired: bool,
+        mode: str = "exact",
+        pair_rule: str = "and",
+    ):
+        self.table = table
+        self.k = k
+        self.depth = depth_per_shard
+        self.coverage = coverage
+        self.canonical = canonical
+        self.paired = paired
+        self.mode = mode
+        self.pair_rule = pair_rule
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._seed = jax.jit(self._seed_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _encode(self, bases, lengths):
+        hi, lo = encode_windows_canonical(bases, self.k, self.canonical)
+        valid = window_validity(lengths, hi, lo, self.k)
+        return hi, lo, valid
+
+    def _relaxed_ranks(self, hi, lo, valid, reads_per_record: int):
+        """Pair-local ranks without a global sort.
+
+        rank of window i within its record = # windows j <= i (over BOTH mates,
+        fwd windows first) with the same code. O(W'^2) VPU compares per record —
+        cheap next to the table's HBM traffic. Matches the reference exactly for
+        duplicates within one record; cross-record duplicates in the same batch
+        are relaxed (they all observe the pre-batch table count + own-record rank).
+        """
+        R, W = hi.shape
+        rec = R // reads_per_record
+        h = hi.reshape(rec, reads_per_record * W)
+        l = lo.reshape(rec, reads_per_record * W)
+        v = valid.reshape(rec, reads_per_record * W)
+        eq = (h[:, :, None] == h[:, None, :]) & (l[:, :, None] == l[:, None, :])
+        eq = eq & v[:, None, :]
+        tri = jnp.tril(jnp.ones((reads_per_record * W, reads_per_record * W), jnp.bool_))
+        rank = jnp.sum(eq & tri[None], axis=2).astype(jnp.int32)
+        return rank.reshape(R, W)
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, state: TableState, bases, lengths, rec_valid):
+        """One normalization super-step.
+
+        Args:
+          state: table shard state (donated).
+          bases: uint8 [R, L] 2-bit base codes; rows in reference stream order
+            (paired: fwd0, rev0, fwd1, rev1, ...).
+          lengths: int32 [R]; 0 marks an invalid mate/read (host sets both mates of
+            an invalid pair to 0: the reference drops such records without
+            counting them at all, :1629-1631).
+          rec_valid: bool [B] record validity.
+
+        Returns: (state', keep[B] bool, StepStats)
+        """
+        R = bases.shape[0]
+        hi, lo, valid = self._encode(bases, lengths)
+        W = hi.shape[1]
+        n = R * W
+
+        stream = sorted_occurrence_stream(
+            hi.reshape(n), lo.reshape(n), valid.reshape(n)
+        )
+        state, observed = self.table.count_and_update(state, stream)
+        if self.mode == "relaxed":
+            # pair-local sequential semantics: each occurrence observes the
+            # PRE-batch count (observed - global rank recovers it at segment
+            # granularity) plus its rank within its own record only
+            pre_batch = observed - stream.rank
+            local_rank = self._relaxed_ranks(hi, lo, valid, 2 if self.paired else 1)
+            local_sorted = local_rank.reshape(n)[stream.src]
+            observed = pre_batch + local_sorted
+        high_sorted = (observed >= self.depth) & stream.valid
+        high = stream.unsort(high_sorted.astype(jnp.int8), jnp.int8(0))
+        high = high.reshape(R, W).astype(jnp.bool_)
+
+        total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
+        high_per_read = jnp.sum(high & valid, axis=1).astype(jnp.int32)
+
+        if self.paired:
+            keep = keep_mask_paired(
+                high_per_read[0::2], total_per_read[0::2],
+                high_per_read[1::2], total_per_read[1::2],
+                self.coverage, self.pair_rule,
+            )
+        else:
+            keep = keep_mask_single(high_per_read, total_per_read, self.coverage)
+
+        keep = keep & rec_valid
+        nvalid = jnp.sum(rec_valid).astype(jnp.int32)
+        nprint = jnp.sum(keep).astype(jnp.int32)
+        stats = StepStats(processed=nvalid, printed=nprint, skipped=nvalid - nprint)
+        return state, keep, stats
+
+    # ------------------------------------------------------------------
+    def _seed_impl(self, state: TableState, bases, lengths):
+        """Seeding pass: insert k-mers with count 0 (reference seed_kmer_hash
+        :1322-1373). The host pre-filters records to the reference's strictly-
+        greater length rule (len > k, :1347) by zeroing their lengths."""
+        R = bases.shape[0]
+        hi, lo, valid = self._encode(bases, lengths)
+        n = R * hi.shape[1]
+        stream = sorted_occurrence_stream(hi.reshape(n), lo.reshape(n), valid.reshape(n))
+        state, _ = self.table.count_and_update(state, stream, seed=True)
+        return state
+
+    # ------------------------------------------------------------------
+    def step(self, state, bases, lengths, rec_valid):
+        return self._step(state, bases, lengths, rec_valid)
+
+    def seed_step(self, state, bases, lengths):
+        return self._seed(state, bases, lengths)

@@ -1,0 +1,95 @@
+"""Per-shard output writers.
+
+Reproduces the reference's output layer (L6): per-thread output files opened once
+and shared across all input files (main normalise_kmers_multi_large.c:2283-2303),
+reference file naming ``{base}.k{k}_norm{depth_per_cpu}_thread{t}.{suffix}``
+(``create_output_filename`` :834-850) with the suffix hard-coded to "fastq" even
+for FASTA output (main :2286,:2296 — a verified reference quirk we match), and
+``fastq_to_fasta`` header rewriting with /1 and /2 mate suffixes (:852-876).
+
+Kept records are written by copying raw bytes out of the input memory map — the
+same zero-reformat strategy the reference gets from fprintf'ing its line buffers.
+
+Intentional divergence: the reference's single-end fq->fa path builds the FASTA
+string but never writes it (:1995-1999, a verified bug producing empty output);
+we write it.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from nomalise_kmers_multi_large_tpu.io.reader import FastxFile, RecordColumns
+
+
+def output_filename(basename: str, k: int, norm_depth: int, shard: int,
+                    suffix: str = "fastq") -> str:
+    """create_output_filename (:834-850); shard < 0 omits the _thread part."""
+    if shard >= 0:
+        return f"{basename}.k{k}_norm{norm_depth}_thread{shard}.{suffix}"
+    return f"{basename}.k{k}_norm{norm_depth}.{suffix}"
+
+
+def _fasta_record(data: np.ndarray, hdr_start: int, hdr_len: int,
+                  seq_start: int, seq_len: int, is_forward: bool) -> bytes:
+    """fastq_to_fasta (:852-876): '@hdr' -> '>hdr', append /1 or /2 if absent."""
+    suffix = b"/1" if is_forward else b"/2"
+    hdr = bytes(data[hdr_start: hdr_start + hdr_len])
+    hdr = b">" + hdr[1:]
+    if len(hdr) < 2 or hdr[-2:] != suffix:
+        hdr += suffix
+    seq = bytes(data[seq_start: seq_start + seq_len])
+    return hdr + b"\n" + seq + b"\n"
+
+
+class ShardWriter:
+    """Output files of one shard ("thread"), living for the whole run."""
+
+    def __init__(self, cfg, shard: int, out_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.shard = shard
+        out_dir = out_dir if out_dir is not None else cfg.out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        k, d = cfg.ksize, cfg.depth_per_shard
+        # suffix is always "fastq" (reference quirk, main :2286)
+        self.fwd_path = os.path.join(out_dir, output_filename("output_forward", k, d, shard))
+        self.fwd = open(self.fwd_path, "wb")
+        self.rev_path = None
+        self.rev = None
+        if cfg.reverse_files:
+            self.rev_path = os.path.join(out_dir, output_filename("output_reverse", k, d, shard))
+            self.rev = open(self.rev_path, "wb")
+        self._fq_to_fa = cfg.is_input_fastq and not cfg.is_output_fastq
+
+    # ------------------------------------------------------------------
+    def _write_one(self, out, data: np.ndarray, cols: RecordColumns, i: int,
+                   is_forward: bool):
+        if self._fq_to_fa:
+            out.write(
+                _fasta_record(
+                    data,
+                    int(cols.hdr_start[i]), int(cols.hdr_len[i]),
+                    int(cols.seq_start[i]), int(cols.seq_len[i]),
+                    is_forward,
+                )
+            )
+        else:
+            out.write(bytes(data[int(cols.rec_start[i]): int(cols.rec_end[i])]))
+
+    def write_kept(self, batch, keep: np.ndarray):
+        """Write every kept record of a RecordBatch, preserving input order."""
+        idx = np.flatnonzero(keep)
+        fdata = batch.fwd_file.data
+        for i in idx:
+            self._write_one(self.fwd, fdata, batch.fwd, int(i), True)
+        if batch.rev is not None and self.rev is not None:
+            rdata = batch.rev_file.data
+            for i in idx:
+                self._write_one(self.rev, rdata, batch.rev, int(i), False)
+
+    def close(self):
+        self.fwd.close()
+        if self.rev:
+            self.rev.close()
