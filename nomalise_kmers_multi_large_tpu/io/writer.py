@@ -40,7 +40,7 @@ def _fasta_record(data: np.ndarray, hdr_start: int, hdr_len: int,
     hdr = b">" + hdr[1:]
     if len(hdr) < 2 or hdr[-2:] != suffix:
         hdr += suffix
-    seq = bytes(data[seq_start: seq_start + seq_len])
+    seq = bytes(data[seq_start: seq_start + seq_len]).replace(b"N", b"A")
     return hdr + b"\n" + seq + b"\n"
 
 
@@ -76,7 +76,19 @@ class ShardWriter:
                 )
             )
         else:
-            out.write(bytes(data[int(cols.rec_start[i]): int(cols.rec_end[i])]))
+            # the reference's replacestr rewrites N->A IN the record buffer before
+            # validation (:1406,:1426-1427), so its output carries the rewrite in
+            # the sequence line (headers/quality untouched)
+            rec_start, rec_end = int(cols.rec_start[i]), int(cols.rec_end[i])
+            seq_start = int(cols.seq_start[i])
+            seq_end = seq_start + int(cols.seq_len[i])
+            seq = bytes(data[seq_start:seq_end])
+            if b"N" in seq:
+                out.write(bytes(data[rec_start:seq_start]))
+                out.write(seq.replace(b"N", b"A"))
+                out.write(bytes(data[seq_end:rec_end]))
+            else:
+                out.write(bytes(data[rec_start:rec_end]))
 
     def write_kept(self, batch, keep: np.ndarray):
         """Write every kept record of a RecordBatch, preserving input order."""
