@@ -60,14 +60,14 @@ def main():
 
     # warmup + compile
     for i in range(WARMUP):
-        state, keep, stats = step.step(
+        state, keep, stats, _ = step.step(
             state, batches[i % len(batches)], lengths_d, valid_d
         )
     _sync(keep)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, keep, stats = step.step(
+        state, keep, stats, _ = step.step(
             state, batches[i % len(batches)], lengths_d, valid_d
         )
     _sync(keep)

@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "ranks; relaxed = pair-local ranks (batch-order independent)")
     tpu.add_argument("--table", choices=["auto", "direct", "hashed"], default="auto")
     tpu.add_argument("--out-dir", default=".", help="output directory")
+    tpu.add_argument("--stride", type=int, default=1,
+                     help="sample every s-th k-mer window (1 = reference semantics; "
+                          "larger = faster, slightly different decisions; the "
+                          "reference's own proposed optimization)")
     tpu.add_argument("--pair-rule", choices=["and", "avg"], default="and",
                      help="pair keep rule: per-mate AND (reference) or pooled average")
     tpu.add_argument("--sharding", choices=["local", "global"], default="local",
@@ -66,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "globally sharded exact table (Mode B)")
     tpu.add_argument("--devices", type=int, default=0,
                      help="number of devices to use (0 = all local devices)")
+    tpu.add_argument("--seed-table", default="",
+                     help="TSV of kmers (e.g. a previous -P dump) to use as the "
+                          "seed set instead of scanning input files (the "
+                          "reference's planned feature)")
     tpu.add_argument("--checkpoint-every", type=int, default=0,
                      help="checkpoint the table + stream position every N batches")
     tpu.add_argument("--checkpoint-dir", default=".checkpoints")
@@ -110,6 +118,8 @@ def config_from_args(argv=None) -> Config:
         mode=args.mode,
         table=args.table,
         out_dir=args.out_dir,
+        stride=args.stride,
+        seed_table=args.seed_table,
         pair_rule=args.pair_rule,
         sharding=args.sharding,
         n_devices=args.devices,

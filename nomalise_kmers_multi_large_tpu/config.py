@@ -65,11 +65,15 @@ class Config:
     max_read_len: int = 1023             # reference MAX_LINE_LENGTH-1 (:139)
     pad_read_len: int = 0                # 0 => derived from data (rounded up to 128)
     seed_records: int = 0                # 0 => reference formula 1 + 3e6/n_fwd_files
+    seed_table: str = ""                 # k-mer TSV to use as the seed set, the
+                                         # reference's planned feature (nk.c:74-77)
     checkpoint_every: int = 0            # batches; 0 => no checkpointing
     checkpoint_dir: str = ".checkpoints"
     resume: bool = False
     pair_rule: Literal["and", "avg"] = "and"   # reference keeps 'and' (:1646); 'avg'
                                                # is its commented-out alternative (:1638)
+    stride: int = 1                      # sample every s-th window; 1 = reference
+                                         # semantics; >1 per nk.c:30-33's own TODO
     n_devices: int = 0                   # 0 => all local devices
     sharding: Literal["local", "global"] = "local"  # Mode A vs Mode B
 
@@ -174,4 +178,6 @@ class Config:
             raise ConfigError(f"table must be auto, direct or hashed, not {self.table}")
         if self.table == "direct" and self.ksize > 15:
             raise ConfigError("direct table supports k<=15 (4^k int32 slots); use hashed")
+        if self.stride < 1 or self.stride > self.ksize:
+            raise ConfigError(f"stride ({self.stride}) must be in [1, k]")
         return self

@@ -71,6 +71,7 @@ class Normalizer:
                     paired=paired,
                     mode=self.cfg.mode,
                     pair_rule=self.cfg.pair_rule,
+                    stride=self.cfg.stride,
                 )
                 for s in range(self.cfg.shards)
             ]
@@ -121,8 +122,14 @@ class Normalizer:
     def seed(self):
         """Sequential pre-pass (reference seed_kmer_hash, main :2242-2250): insert
         k-mers of the first records_to_seed records of EVERY input file with count
-        0, so all shards start from an identical table."""
+        0, so all shards start from an identical table. With --seed-table, the
+        seed set comes from a k-mer TSV instead (the reference's planned feature,
+        nk.c:74-77: "allow user to provide a tsv of kmers ... count is not
+        relevant")."""
         cfg = self.cfg
+        if cfg.seed_table:
+            self._seed_from_tsv(cfg.seed_table)
+            return
         n_seed = cfg.records_to_seed
         files = []
         for i, f in enumerate(cfg.forward_files):
@@ -161,6 +168,38 @@ class Normalizer:
             for s in range(1, cfg.shards):
                 self.states[s] = jax.tree.map(lambda x: x.copy(), self.states[0])
 
+    def _seed_from_tsv(self, path: str):
+        """Seed from a kmer TSV (one kmer per line, optional count column)."""
+        from nomalise_kmers_multi_large_tpu.io.pack import LUT
+
+        cfg = self.cfg
+        kmers = []
+        with open(path, "rb") as f:
+            for line in f:
+                km = line.split(b"\t", 1)[0].strip()
+                if len(km) == cfg.ksize:
+                    kmers.append(km)
+        if not kmers:
+            self.seeded_lo = np.empty(0, np.uint32)
+            return
+        arr = LUT[np.frombuffer(b"".join(kmers), np.uint8)].reshape(
+            len(kmers), cfg.ksize
+        )
+        if (arr == 255).any():
+            raise ValueError(f"non-ACGTN kmer in seed table {path}")
+        lengths = np.full(len(kmers), cfg.ksize, np.int32)
+        if isinstance(self.tables[0], DirectTable):
+            self.seeded_lo = self._host_codes(arr, lengths)
+        else:
+            step = self._get_step(0, paired=False)
+            for i in range(0, len(arr), cfg.batch_reads):
+                self.states[0] = step.seed_step(
+                    self.states[0], arr[i: i + cfg.batch_reads],
+                    lengths[i: i + cfg.batch_reads],
+                )
+            for s in range(1, cfg.shards):
+                self.states[s] = jax.tree.map(lambda x: x.copy(), self.states[0])
+
     def _host_codes(self, bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         """Unique k-mer codes of a packed batch, computed on device and pulled to
         host (direct-table seeding only needs the code set for reporting)."""
@@ -182,14 +221,41 @@ class Normalizer:
     # ------------------------------------------------------------------
     def run(self) -> RunReport:
         cfg = self.cfg
-        self.seed()
-        if cfg.print_table:
-            self._dump_seed_table()
-        self.writers = [ShardWriter(cfg, s) for s in range(cfg.shards)]
+        from nomalise_kmers_multi_large_tpu.engine.checkpoint import CheckpointManager
 
-        rr = 0  # round-robin shard cursor
+        ckpt = CheckpointManager(cfg) if (cfg.checkpoint_every or cfg.resume) else None
+        resume = None
+        if cfg.resume and ckpt:
+            loaded = ckpt.load()
+            if loaded:
+                self.states, resume = loaded
+                self.seeded_lo = resume.seeded_lo
+                for c, saved in zip(self.counters, resume.counters):
+                    c.processed = saved["processed"]
+                    c.printed = saved["printed"]
+                    c.skipped = saved["skipped"]
+                    c.unique_kmers = saved["unique_kmers"]
+                print(
+                    f"Resuming from checkpoint: file {resume.file_index + 1}, "
+                    f"{resume.records_done:,} records done"
+                )
+        if resume is None:
+            self.seed()
+            if cfg.print_table:
+                self._dump_seed_table()
+
+        self.writers = [
+            ShardWriter(cfg, s,
+                        resume_sizes=resume.output_sizes if resume else None)
+            for s in range(cfg.shards)
+        ]
+
+        rr = resume.rr if resume else 0  # round-robin shard cursor
         n_rev = len(cfg.reverse_files)
+        batches_since_ckpt = 0
         for fi, fpath in enumerate(cfg.forward_files):
+            if resume and fi < resume.file_index:
+                continue
             paired = fi < n_rev
             if paired:
                 print(
@@ -208,24 +274,62 @@ class Normalizer:
                 it = batch_iterator(fx, cfg.batch_reads)
             sys.stdout.flush()
 
-            pending = None  # (batch, shard, keep_dev, stats_dev) double buffer
+            records_done = 0
+            skip = resume.records_done if (resume and fi == resume.file_index) else 0
+            resume_active = resume is not None and fi == resume.file_index
+            if resume_active:
+                resume = None  # consumed
+
+            pending = None  # (batch, shard, keep_dev, ...) double buffer
             for batch in it:
+                n = len(batch)
+                if skip:
+                    take = min(skip, n)
+                    skip -= take
+                    records_done += take
+                    if take == n:
+                        continue
+                    batch = self._slice_batch(batch, take, n)
+                    n = len(batch)
+                # checkpoint only when no batch is in flight: the table state
+                # must describe exactly the records counted in records_done
+                if (
+                    ckpt
+                    and cfg.checkpoint_every
+                    and batches_since_ckpt >= cfg.checkpoint_every
+                ):
+                    if pending is not None:
+                        records_done += self._retire(*pending)
+                        pending = None
+                    self._checkpoint(ckpt, fi, records_done, rr)
+                    batches_since_ckpt = 0
                 bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
                 shard = rr % cfg.shards
                 rr += 1
                 step = self._get_step(shard, paired)
-                self.states[shard], keep, stats = step.step(
+                self.states[shard], keep, stats, tallies = step.step(
                     self.states[shard], bases, lengths, rec_valid
                 )
                 if pending is not None:
-                    self._retire(*pending)
-                pending = (batch, shard, keep, stats)
+                    records_done += self._retire(*pending)
+                batches_since_ckpt += 1
+                pending = (batch, shard, keep, stats, tallies)
             if pending is not None:
-                self._retire(*pending)
+                records_done += self._retire(*pending)
 
             # per-file aggregation (reference :1896-1912)
             self._refresh_unique_counts()
             self.report.absorb(self.counters)
+            print(
+                "Cumulative file statistics: "
+                f"Processed {self.report.total_processed:,}, "
+                f"Printed {self.report.total_printed:,}, "
+                f"Skipped {self.report.total_skipped:,}, "
+                f"Cumulative Max Unique Kmers in a thread: "
+                f"{self.report.max_total_kmers:,}"
+            )
+            if ckpt and cfg.checkpoint_every:
+                self._checkpoint(ckpt, fi + 1, 0, rr)
 
         for c in self.counters:
             c.maybe_report(cfg.verbose, force=True)
@@ -236,14 +340,71 @@ class Normalizer:
         self.report.final(paired=n_rev > 0)
         return self.report
 
-    def _retire(self, batch, shard, keep_dev, stats_dev):
+    @staticmethod
+    def _slice_batch(batch: RecordBatch, lo: int, hi: int) -> RecordBatch:
+        return RecordBatch(
+            fwd_file=batch.fwd_file,
+            fwd=batch.fwd.slice(lo, hi),
+            rev_file=batch.rev_file,
+            rev=batch.rev.slice(lo, hi) if batch.rev is not None else None,
+        )
+
+    def _checkpoint(self, ckpt, file_index: int, records_done: int, rr: int):
+        for w in self.writers:
+            w.flush()
+        self._refresh_unique_counts()
+        paths = [p for w in self.writers for p in w.paths()]
+        ckpt.save(self.states, self.counters, file_index, records_done, paths, rr,
+                  self.seeded_lo)
+
+    def _retire(self, batch, shard, keep_dev, stats_dev, tallies_dev) -> int:
         keep = np.asarray(keep_dev)
         self.writers[shard].write_kept(batch, keep)
         c = self.counters[shard]
+        prev_processed = c.processed
         c.processed += int(stats_dev.processed)
         c.printed += int(stats_dev.printed)
         c.skipped += int(stats_dev.skipped)
+        if self.cfg.debug > 1:
+            self._debug_records(batch, shard, keep, tallies_dev, prev_processed)
         c.maybe_report(self.cfg.verbose)
+        return len(batch)
+
+    def _debug_records(self, batch, shard, keep, tallies_dev, base_count):
+        """Per-record PRINTED/SKIPPED lines (reference debug>1, nk.c:1677-1696)."""
+        high = np.asarray(tallies_dev.high)
+        total = np.asarray(tallies_dev.total)
+        paired = batch.rev is not None
+        d = self.cfg.depth_per_shard
+        seq_no = base_count
+        for i in range(len(batch)):
+            if paired:
+                hf, tf = int(high[2 * i]), int(total[2 * i])
+                hr, tr = int(high[2 * i + 1]), int(total[2 * i + 1])
+                if tf == 0 and tr == 0 and not keep[i]:
+                    continue  # invalid record: reference skips silently
+                seq_no += 1
+                verdict = "PRINTED" if keep[i] else "SKIPPED"
+                rf = hf / tf if tf else 0.0
+                rv = hr / tr if tr else 0.0
+                print(
+                    f"Thread {shard} - Sequence pair {seq_no:,} {verdict}: "
+                    f"High ({d}) count kmers: F:{hf};R:{hr}, "
+                    f"Total kmers: F:{tf};R:{tr} "
+                    f"High count ratio: F:{rf:.2f};R:{rv:.2f}"
+                )
+            else:
+                h, t = int(high[i]), int(total[i])
+                if t == 0 and not keep[i]:
+                    continue
+                seq_no += 1
+                verdict = "PRINTED" if keep[i] else "SKIPPED"
+                r = h / t if t else 0.0
+                print(
+                    f"Thread {shard} - Sequence {seq_no:,} {verdict}: "
+                    f"High ({d}) count kmers: F:{h}, Total kmers: F:{t} "
+                    f"High count ratio: F:{r:.2f}"
+                )
 
     def _refresh_unique_counts(self):
         for s in range(self.cfg.shards):

@@ -45,6 +45,14 @@ class StepStats(NamedTuple):
     skipped: jax.Array    # int32 []
 
 
+class ReadTallies(NamedTuple):
+    """Per-read high/total window counts (the reference's debug>1 report fields,
+    nk.c:1677-1696)."""
+
+    high: jax.Array   # int32 [R]
+    total: jax.Array  # int32 [R]
+
+
 class BatchStep:
     """Factory for the jitted batch functions of one table shard.
 
@@ -63,6 +71,7 @@ class BatchStep:
         paired: bool,
         mode: str = "exact",
         pair_rule: str = "and",
+        stride: int = 1,
     ):
         self.table = table
         self.k = k
@@ -72,6 +81,11 @@ class BatchStep:
         self.paired = paired
         self.mode = mode
         self.pair_rule = pair_rule
+        #: window stride: 1 = every window (reference semantics). s>1 samples
+        #: every s-th window — the reference's own proposed optimization
+        #: ("we could also do non-overlapping kmers", nk.c:30-33) — dividing all
+        #: per-window costs by s. Opt-in; changes decisions slightly.
+        self.stride = stride
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._seed = jax.jit(self._seed_impl, donate_argnums=(0,))
 
@@ -79,6 +93,10 @@ class BatchStep:
     def _encode(self, bases, lengths):
         hi, lo = encode_windows_canonical(bases, self.k, self.canonical)
         valid = window_validity(lengths, hi, lo, self.k)
+        if self.stride > 1:
+            hi = hi[:, :: self.stride]
+            lo = lo[:, :: self.stride]
+            valid = valid[:, :: self.stride]
         return hi, lo, valid
 
     def _relaxed_ranks(self, hi, lo, valid, reads_per_record: int):
@@ -153,7 +171,8 @@ class BatchStep:
         nvalid = jnp.sum(rec_valid).astype(jnp.int32)
         nprint = jnp.sum(keep).astype(jnp.int32)
         stats = StepStats(processed=nvalid, printed=nprint, skipped=nvalid - nprint)
-        return state, keep, stats
+        tallies = ReadTallies(high=high_per_read, total=total_per_read)
+        return state, keep, stats, tallies
 
     # ------------------------------------------------------------------
     def _seed_impl(self, state: TableState, bases, lengths):

@@ -47,7 +47,8 @@ def _fasta_record(data: np.ndarray, hdr_start: int, hdr_len: int,
 class ShardWriter:
     """Output files of one shard ("thread"), living for the whole run."""
 
-    def __init__(self, cfg, shard: int, out_dir: Optional[str] = None):
+    def __init__(self, cfg, shard: int, out_dir: Optional[str] = None,
+                 resume_sizes: Optional[dict] = None):
         self.cfg = cfg
         self.shard = shard
         out_dir = out_dir if out_dir is not None else cfg.out_dir
@@ -55,13 +56,32 @@ class ShardWriter:
         k, d = cfg.ksize, cfg.depth_per_shard
         # suffix is always "fastq" (reference quirk, main :2286)
         self.fwd_path = os.path.join(out_dir, output_filename("output_forward", k, d, shard))
-        self.fwd = open(self.fwd_path, "wb")
+        self.fwd = self._open(self.fwd_path, resume_sizes)
         self.rev_path = None
         self.rev = None
         if cfg.reverse_files:
             self.rev_path = os.path.join(out_dir, output_filename("output_reverse", k, d, shard))
-            self.rev = open(self.rev_path, "wb")
+            self.rev = self._open(self.rev_path, resume_sizes)
         self._fq_to_fa = cfg.is_input_fastq and not cfg.is_output_fastq
+
+    @staticmethod
+    def _open(path: str, resume_sizes: Optional[dict]):
+        """Fresh run truncates; resume truncates to the checkpointed byte size
+        (dropping records written after the snapshot) and appends."""
+        if resume_sizes is not None and os.path.exists(path):
+            f = open(path, "r+b")
+            f.truncate(resume_sizes.get(path, 0))
+            f.seek(0, os.SEEK_END)
+            return f
+        return open(path, "wb")
+
+    def paths(self) -> list[str]:
+        return [p for p in (self.fwd_path, self.rev_path) if p]
+
+    def flush(self):
+        self.fwd.flush()
+        if self.rev:
+            self.rev.flush()
 
     # ------------------------------------------------------------------
     def _write_one(self, out, data: np.ndarray, cols: RecordColumns, i: int,

@@ -39,7 +39,7 @@ class ModeAStep:
             jax.shard_map,
             mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data")),
-            out_specs=(P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data"), P(), P("data")),
             # per-shard table contents legitimately diverge across 'data'; disable
             # the varying-manual-axes check (the while_loop carries in the hashed
             # table would otherwise need per-axis pvary annotations)
@@ -47,11 +47,13 @@ class ModeAStep:
         )
         def _sharded(state, bases, lengths, rec_valid):
             local = jax.tree.map(lambda x: x[0], state)
-            local, keep, stats = step._step_impl(local, bases, lengths, rec_valid)
+            local, keep, stats, tallies = step._step_impl(
+                local, bases, lengths, rec_valid
+            )
             stats = StepStats(
                 *(jax.lax.psum(s, "data") for s in stats)
             )
-            return jax.tree.map(lambda x: x[None], local), keep, stats
+            return jax.tree.map(lambda x: x[None], local), keep, stats, tallies
 
         self._fn = jax.jit(_sharded, donate_argnums=(0,))
 

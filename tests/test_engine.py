@@ -74,7 +74,7 @@ def _run_batched(table, reads, batch_size, paired, canonical, mode="exact"):
             lengths[1::2] = np.where(rec_valid, rl, 0)
         else:
             rec_valid = lengths > 0
-        state, keep, stats = step.step(
+        state, keep, stats, _ = step.step(
             state, jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(rec_valid)
         )
         keep = np.asarray(keep)

@@ -52,7 +52,7 @@ def test_mode_a_matches_independent_shards():
     bases, lengths = _pack(reads)
     keeps = []
     for i in range(0, 256, 64):  # batches of 64 rows = 8 per device
-        state, keep, stats = mstep(
+        state, keep, stats, _ = mstep(
             state, jnp.asarray(bases[i: i + 64]), jnp.asarray(lengths[i: i + 64]),
             jnp.ones(64, bool),
         )
@@ -81,14 +81,14 @@ def test_mode_b_matches_single_device_exact():
     t1 = DirectTable(K)
     s1 = _mk_step(t1, DEPTH)
     st1 = t1.init()
-    st1, keep1, _ = s1.step(
+    st1, keep1, _, _ = s1.step(
         st1, jnp.asarray(bases), jnp.asarray(lengths), jnp.ones(128, bool)
     )
 
     t2 = DirectTable(K)
     mstep = ModeBStep(mesh, _mk_step(t2, DEPTH))
     st2 = mstep.init_state()
-    st2, keep2, _ = mstep(
+    st2, keep2, _, _ = mstep(
         st2, jnp.asarray(bases), jnp.asarray(lengths), jnp.ones(128, bool)
     )
     np.testing.assert_array_equal(np.asarray(keep1), np.asarray(keep2))
@@ -102,7 +102,7 @@ def test_mode_b_hashed_global_table():
     st = mstep.init_state()
     reads = _reads(128)
     bases, lengths = _pack(reads)
-    st, keep, stats = mstep(
+    st, keep, stats, _ = mstep(
         st, jnp.asarray(bases), jnp.asarray(lengths), jnp.ones(128, bool)
     )
     assert int(stats.processed) == 128
@@ -110,7 +110,7 @@ def test_mode_b_hashed_global_table():
     # same decisions as direct single-device
     t1 = DirectTable(K)
     st1 = t1.init()
-    st1, keep1, _ = _mk_step(t1, DEPTH).step(
+    st1, keep1, _, _ = _mk_step(t1, DEPTH).step(
         st1, jnp.asarray(bases), jnp.asarray(lengths), jnp.ones(128, bool)
     )
     np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep1))
