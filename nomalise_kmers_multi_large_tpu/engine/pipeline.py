@@ -44,11 +44,16 @@ def _round_up(x: int, m: int) -> int:
 class Normalizer:
     """Single-process engine (one device; N logical shards)."""
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, _single_state: bool = False):
         self.cfg = cfg.validate()
         self.paired_any = bool(cfg.reverse_files)
         self.tables = [make_table(cfg) for _ in range(cfg.shards)]
-        self.states = [t.init() for t in self.tables]
+        # _single_state: mesh engines materialize one seedable state and
+        # replicate it onto devices themselves (avoids shards x table allocs)
+        if _single_state:
+            self.states = [self.tables[0].init()]
+        else:
+            self.states = [t.init() for t in self.tables]
         self.steps: list[BatchStep] = []
         self.counters = [ShardCounters(s) for s in range(cfg.shards)]
         self.report = RunReport()
@@ -165,7 +170,7 @@ class Normalizer:
                 self.seeded_lo = np.empty(0, np.uint32)
         else:
             # replicate the seeded table to every shard (copy_hash_table :908-927)
-            for s in range(1, cfg.shards):
+            for s in range(1, len(self.states)):
                 self.states[s] = jax.tree.map(lambda x: x.copy(), self.states[0])
 
     def _seed_from_tsv(self, path: str):
@@ -451,4 +456,12 @@ class Normalizer:
 
 
 def run(cfg: Config) -> RunReport:
+    """Entry point: picks the single-device or mesh engine."""
+    import jax
+
+    ndev = cfg.n_devices or jax.device_count()
+    if ndev > 1:
+        from nomalise_kmers_multi_large_tpu.parallel.engine import MeshNormalizer
+
+        return MeshNormalizer(cfg, ndev).run()
     return Normalizer(cfg).run()

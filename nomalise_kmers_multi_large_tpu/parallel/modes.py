@@ -57,9 +57,10 @@ class ModeAStep:
 
         self._fn = jax.jit(_sharded, donate_argnums=(0,))
 
-    def init_states(self) -> TableState:
-        """[S, ...]-stacked fresh states, sharded one per device."""
-        one = self.step.table.init()
+    def init_states(self, base: TableState | None = None) -> TableState:
+        """[S, ...]-stacked states, one per device. `base` (e.g. a seeded table,
+        reference copy_hash_table :908-927) is replicated to every shard."""
+        one = base if base is not None else self.step.table.init()
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (self.n,) + x.shape), one
         )
@@ -104,8 +105,8 @@ class ModeBStep:
 
         self._fn = jax.jit(_fn, donate_argnums=(0,))
 
-    def init_state(self) -> TableState:
-        state = self.step.table.init()
+    def init_state(self, base: TableState | None = None) -> TableState:
+        state = base if base is not None else self.step.table.init()
         return jax.tree.map(lambda x: jax.device_put(x, self._spec(x)), state)
 
     def __call__(self, state, bases, lengths, rec_valid):
