@@ -54,6 +54,13 @@ def pack_batch(
     r = seq_starts.shape[0]
     if r == 0:
         return np.zeros((0, pad_len), np.uint8), np.zeros((0,), np.int32)
+
+    from nomalise_kmers_multi_large_tpu.io import native
+
+    got = native.pack(data, seq_starts, seq_lens, pad_len, min_len)
+    if got is not None:
+        return got
+
     lens = np.minimum(seq_lens, pad_len).astype(np.int64)
     idx = seq_starts[:, None] + np.arange(pad_len, dtype=np.int64)[None, :]
     np.clip(idx, 0, data.shape[0] - 1, out=idx)

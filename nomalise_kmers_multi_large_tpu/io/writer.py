@@ -110,9 +110,31 @@ class ShardWriter:
             else:
                 out.write(bytes(data[rec_start:rec_end]))
 
+    @staticmethod
+    def _cols_matrix(cols: RecordColumns) -> np.ndarray:
+        return np.stack(
+            [cols.rec_start, cols.rec_end, cols.hdr_start, cols.hdr_len,
+             cols.seq_start, cols.seq_len], axis=1,
+        ).astype(np.int64)
+
     def write_kept(self, batch, keep: np.ndarray):
         """Write every kept record of a RecordBatch, preserving input order."""
         idx = np.flatnonzero(keep)
+        if idx.size == 0:
+            return
+        if not self._fq_to_fa:
+            # native batch assembly (one memcpy pass + one write syscall)
+            from nomalise_kmers_multi_large_tpu.io import native
+
+            blob = native.emit(batch.fwd_file.data, self._cols_matrix(batch.fwd), keep)
+            if blob is not None:
+                self.fwd.write(blob)
+                if batch.rev is not None and self.rev is not None:
+                    rblob = native.emit(
+                        batch.rev_file.data, self._cols_matrix(batch.rev), keep
+                    )
+                    self.rev.write(rblob)
+                return
         fdata = batch.fwd_file.data
         for i in idx:
             self._write_one(self.fwd, fdata, batch.fwd, int(i), True)

@@ -137,3 +137,40 @@ def test_a1_single_k13(tmp_path):
         tmp_path / "output_kmer.k13_norm4_thread0.tsv",
         GOLDEN / "a1_single_k13_d4" / "output_kmer.k13_norm4_thread0.tsv",
     )
+
+
+def test_fasta_input_paired(tmp_path):
+    """FASTA in / FASTA out paired-end (2-line records, reference -t fa)."""
+    d = pathlib.Path(__file__).parent / "data"
+    cfg = Config(
+        forward_files=(str(d / "a1.fasta"),), reverse_files=(str(d / "b1.fasta"),),
+        informat="fa", outformat="fa", ksize=15, depth=4, out_dir=str(tmp_path),
+    )
+    _, report = _run(cfg)
+    want = _golden_stats("fasta_in_paired_k15")
+    assert (report.total_processed, report.total_printed, report.total_skipped,
+            report.max_total_kmers) == want
+    for base in ("output_forward", "output_reverse"):
+        _assert_same_file(
+            tmp_path / f"{base}.k15_norm4_thread0.fastq",
+            GOLDEN / "fasta_in_paired_k15" / f"{base}.k15_norm4_thread0.fastq",
+        )
+
+
+def test_mixed_paired_and_single(tmp_path):
+    """--single: fwd files without a matching rev file run single-end
+    (reference main :2310-2392 dispatch)."""
+    cfg = Config(
+        forward_files=(str(T / "a1.fastq"), str(T / "a2.fastq")),
+        reverse_files=(str(T / "b1.fastq"),),
+        single=True, ksize=15, depth=4, out_dir=str(tmp_path),
+    )
+    _, report = _run(cfg)
+    want = _golden_stats("mixed_single_k15")
+    assert (report.total_processed, report.total_printed, report.total_skipped,
+            report.max_total_kmers) == want
+    for base in ("output_forward", "output_reverse"):
+        _assert_same_file(
+            tmp_path / f"{base}.k15_norm4_thread0.fastq",
+            GOLDEN / "mixed_single_k15" / f"{base}.k15_norm4_thread0.fastq",
+        )
