@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--checkpoint-dir", default=".checkpoints")
     tpu.add_argument("--resume", action="store_true",
                      help="resume from the latest checkpoint")
+    tpu.add_argument("--spectrum", action="store_true",
+                     help="print a k-mer spectrum report at the end")
     return p
 
 
@@ -126,6 +128,7 @@ def config_from_args(argv=None) -> Config:
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        spectrum=args.spectrum,
     ).validate()
 
 
@@ -136,9 +139,58 @@ def main(argv=None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         build_parser().print_usage(sys.stderr)
         return 1
-    from nomalise_kmers_multi_large_tpu.engine.pipeline import run
 
-    run(cfg)
+    import dataclasses
+
+    from nomalise_kmers_multi_large_tpu.parallel.multihost import (
+        aggregate_report,
+        assign_files,
+        maybe_initialize,
+    )
+
+    pidx, pcount = maybe_initialize()
+    if pcount > 1:
+        fwd, rev = assign_files(
+            cfg.forward_files, cfg.reverse_files, pidx, pcount
+        )
+        cfg = dataclasses.replace(cfg, forward_files=fwd, reverse_files=rev)
+
+    import jax
+
+    # startup table report (reference parse_arguments :686)
+    cap = (4 ** cfg.ksize) if cfg.table_kind == "direct" else cfg.initial_hash_capacity
+    bytes_per_slot = 4 if cfg.table_kind == "direct" else 12
+    print(
+        f"{cfg.table_kind} count table: {cap:,} slots per shard "
+        f"(maximum for k={cfg.ksize} is {4 ** cfg.ksize:,}); "
+        f"~{cap * bytes_per_slot / 2**30:.2f} Gb HBM for each of "
+        f"{cfg.shards} shards\n"
+    )
+
+    ndev = cfg.n_devices or jax.device_count()
+    if ndev > 1:
+        from nomalise_kmers_multi_large_tpu.parallel.engine import MeshNormalizer
+
+        norm = MeshNormalizer(cfg, ndev)
+    else:
+        from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
+
+        norm = Normalizer(cfg)
+    report = norm.run()
+    aggregate_report(report, paired=bool(cfg.reverse_files))
+
+    if cfg.spectrum:
+        from nomalise_kmers_multi_large_tpu.models.spectrum import spectrum
+
+        sp = spectrum(norm.tables[0], norm.shard_state(0))
+        print("\n--- Kmer Spectrum (shard 0) ---")
+        print(f"Distinct kmers: {sp.distinct_kmers:,}")
+        print(f"Total kmer instances: {sp.total_kmers:,}")
+        print(f"Coverage peak: {sp.coverage_peak:,}")
+        print(f"Genome size estimate: {sp.genome_size_estimate:,}")
+        head = sp.histogram[:32]
+        print("Histogram (multiplicity: kmers): "
+              + ", ".join(f"{i}:{int(v):,}" for i, v in enumerate(head) if v))
     return 0
 
 

@@ -76,6 +76,9 @@ class Config:
                                          # semantics; >1 per nk.c:30-33's own TODO
     n_devices: int = 0                   # 0 => all local devices
     sharding: Literal["local", "global"] = "local"  # Mode A vs Mode B
+    spectrum: bool = False               # print k-mer spectrum stats at the end
+                                         # (the reference's wished-for histogram,
+                                         # nk.c:85-90)
 
     # ------------------------------------------------------------------
     @property

@@ -416,6 +416,9 @@ class Normalizer:
             t = self.tables[s]
             self.counters[s].unique_kmers = t.used_count(self.states[s], self.seeded_lo)
 
+    def shard_state(self, s: int = 0):
+        return self.states[s]
+
     # ------------------------------------------------------------------
     def _dump_seed_table(self):
         """-P seed dump: output_kmer_seeds.k{k}_norm{d}.tsv with count 0 rows

@@ -207,6 +207,13 @@ class MeshNormalizer(Normalizer):
             c.skipped += nv - nk
             c.maybe_report(self.cfg.verbose)
 
+    def shard_state(self, s: int = 0):
+        import jax
+
+        if self.mode_b:
+            return self._global_state
+        return jax.tree.map(lambda x: x[s], self._stacked)
+
     def _refresh_unique_counts_mesh(self):
         import jax
 
