@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="resume from the latest checkpoint")
     tpu.add_argument("--spectrum", action="store_true",
                      help="print a k-mer spectrum report at the end")
+    tpu.add_argument("--profile", default="", metavar="DIR",
+                     help="write a jax.profiler device trace to DIR")
     return p
 
 
@@ -129,6 +131,7 @@ def config_from_args(argv=None) -> Config:
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         spectrum=args.spectrum,
+        profile_dir=args.profile,
     ).validate()
 
 

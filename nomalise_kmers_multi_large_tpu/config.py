@@ -79,6 +79,7 @@ class Config:
     spectrum: bool = False               # print k-mer spectrum stats at the end
                                          # (the reference's wished-for histogram,
                                          # nk.c:85-90)
+    profile_dir: str = ""                # write a jax.profiler device trace here
 
     # ------------------------------------------------------------------
     @property

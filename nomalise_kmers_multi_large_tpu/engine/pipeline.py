@@ -61,6 +61,9 @@ class Normalizer:
         self.seeded_lo: Optional[np.ndarray] = None  # host set of seeded codes
         self._pad = 0  # adaptive padded read length (static per compiled step)
         self._steps_cache: dict = {}
+        from nomalise_kmers_multi_large_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def _get_step(self, shard: int, paired: bool) -> BatchStep:
@@ -225,6 +228,12 @@ class Normalizer:
 
     # ------------------------------------------------------------------
     def run(self) -> RunReport:
+        from nomalise_kmers_multi_large_tpu.utils.profiling import device_trace
+
+        with device_trace(self.cfg.profile_dir or None):
+            return self._run()
+
+    def _run(self) -> RunReport:
         cfg = self.cfg
         from nomalise_kmers_multi_large_tpu.engine.checkpoint import CheckpointManager
 
@@ -308,13 +317,15 @@ class Normalizer:
                         pending = None
                     self._checkpoint(ckpt, fi, records_done, rr)
                     batches_since_ckpt = 0
-                bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
+                with self.timer.stage("pack"):
+                    bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
                 shard = rr % cfg.shards
                 rr += 1
                 step = self._get_step(shard, paired)
-                self.states[shard], keep, stats, tallies = step.step(
-                    self.states[shard], bases, lengths, rec_valid
-                )
+                with self.timer.stage("dispatch"):
+                    self.states[shard], keep, stats, tallies = step.step(
+                        self.states[shard], bases, lengths, rec_valid
+                    )
                 if pending is not None:
                     records_done += self._retire(*pending)
                 batches_since_ckpt += 1
@@ -342,6 +353,10 @@ class Normalizer:
             w.close()
         if cfg.print_table:
             self._dump_tables()
+        if cfg.verbose or cfg.debug:
+            rep = self.timer.report()
+            if rep:
+                print(rep)
         self.report.final(paired=n_rev > 0)
         return self.report
 
@@ -363,8 +378,10 @@ class Normalizer:
                   self.seeded_lo)
 
     def _retire(self, batch, shard, keep_dev, stats_dev, tallies_dev) -> int:
-        keep = np.asarray(keep_dev)
-        self.writers[shard].write_kept(batch, keep)
+        with self.timer.stage("device_wait"):
+            keep = np.asarray(keep_dev)
+        with self.timer.stage("write"):
+            self.writers[shard].write_kept(batch, keep)
         c = self.counters[shard]
         prev_processed = c.processed
         c.processed += int(stats_dev.processed)
