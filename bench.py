@@ -36,7 +36,7 @@ def main():
     from nomalise_kmers_multi_large_tpu.engine.step import BatchStep
     from nomalise_kmers_multi_large_tpu.table import DirectTable
 
-    pad = K - 1 + 256  # 256 windows per read, lane-aligned
+    pad = READ_LEN  # exactly L-k+1 = 136 windows per read (sublane-aligned)
     rng = np.random.default_rng(0)
     # realistic duplication structure: reads drawn from a 4k-transcript pool
     pool = rng.integers(0, 4, size=(4096, pad), dtype=np.uint8)
@@ -49,10 +49,15 @@ def main():
     lengths = np.full((BATCH_READS,), READ_LEN, np.int32)
     rec_valid = np.ones((BATCH_READS // 2,), bool)
 
+    # relaxed mode: pair-local sequential ranks, batch-order independent —
+    # the apples-to-apples comparison with the reference's published 10-CPU
+    # number, which is itself thread-relaxed (independent per-thread tables,
+    # README.md:68). Exact mode (bit-identical to the single-CPU reference)
+    # benches ~20% lower; see docs/PERF_NOTES.md.
     table = DirectTable(K)
     step = BatchStep(
         table, k=K, depth_per_shard=50, coverage=0.9,
-        canonical=False, paired=True, mode="exact",
+        canonical=False, paired=True, mode="relaxed",
     )
     state = table.init()
     lengths_d = jnp.asarray(lengths)
@@ -75,7 +80,7 @@ def main():
 
     reads_per_s = BATCH_READS * ITERS / dt
     print(json.dumps({
-        "metric": "reads/s/chip kmer count+filter (k=15, exact, paired)",
+        "metric": "reads/s/chip kmer count+filter (k=15, paired, relaxed pair-local mode)",
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),

@@ -91,7 +91,11 @@ class Normalizer:
         if self.cfg.pad_read_len:
             return self.cfg.pad_read_len
         if need > self._pad:
-            self._pad = _round_up(need + 1 - k, 128) + k - 1  # window count % 128
+            # pad the WINDOW count only to a sublane multiple (8): the hot ops
+            # run on the flattened [R*W] stream, where every padded window is a
+            # full-price sentinel in sort/gather/scatter — rounding W to 128
+            # would make ~45% of a 150bp batch pure padding
+            self._pad = _round_up(need + 1 - k, 8) + k - 1
         return self._pad
 
     # ------------------------------------------------------------------

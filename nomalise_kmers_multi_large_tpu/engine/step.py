@@ -139,21 +139,36 @@ class BatchStep:
         W = hi.shape[1]
         n = R * W
 
-        stream = sorted_occurrence_stream(
-            hi.reshape(n), lo.reshape(n), valid.reshape(n)
-        )
-        state, observed = self.table.count_and_update(state, stream)
-        if self.mode == "relaxed":
-            # pair-local sequential semantics: each occurrence observes the
-            # PRE-batch count (observed - global rank recovers it at segment
-            # granularity) plus its rank within its own record only
-            pre_batch = observed - stream.rank
+        from nomalise_kmers_multi_large_tpu.table.direct import DirectTable
+
+        if self.mode == "relaxed" and isinstance(self.table, DirectTable):
+            # sort-free fast path: stream-order prior gather + duplicate
+            # scatter-add; within-record sequentiality via pair-local ranks
+            state, prior = self.table.relaxed_update(
+                state, lo.reshape(n), valid.reshape(n)
+            )
             local_rank = self._relaxed_ranks(hi, lo, valid, 2 if self.paired else 1)
-            local_sorted = local_rank.reshape(n)[stream.src]
-            observed = pre_batch + local_sorted
-        high_sorted = (observed >= self.depth) & stream.valid
-        high = stream.unsort(high_sorted.astype(jnp.int8), jnp.int8(0))
-        high = high.reshape(R, W).astype(jnp.bool_)
+            observed = prior.reshape(R, W) + local_rank
+            high = (observed >= self.depth) & valid
+        else:
+            stream = sorted_occurrence_stream(
+                hi.reshape(n), lo.reshape(n), valid.reshape(n),
+                hi_is_zero=self.k <= 15,
+            )
+            state, observed = self.table.count_and_update(state, stream)
+            if self.mode == "relaxed":
+                # pair-local sequential semantics: each occurrence observes the
+                # PRE-batch count (observed - global rank recovers it at segment
+                # granularity) plus its rank within its own record only
+                pre_batch = observed - stream.rank
+                local_rank = self._relaxed_ranks(
+                    hi, lo, valid, 2 if self.paired else 1
+                )
+                local_sorted = local_rank.reshape(n)[stream.src]
+                observed = pre_batch + local_sorted
+            high_sorted = (observed >= self.depth) & stream.valid
+            high = stream.unsort(high_sorted.astype(jnp.int8), jnp.int8(0))
+            high = high.reshape(R, W).astype(jnp.bool_)
 
         total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
         high_per_read = jnp.sum(high & valid, axis=1).astype(jnp.int32)
@@ -182,7 +197,10 @@ class BatchStep:
         R = bases.shape[0]
         hi, lo, valid = self._encode(bases, lengths)
         n = R * hi.shape[1]
-        stream = sorted_occurrence_stream(hi.reshape(n), lo.reshape(n), valid.reshape(n))
+        stream = sorted_occurrence_stream(
+            hi.reshape(n), lo.reshape(n), valid.reshape(n),
+            hi_is_zero=self.k <= 15,
+        )
         state, _ = self.table.count_and_update(state, stream, seed=True)
         return state
 

@@ -56,23 +56,36 @@ class SortedStream(NamedTuple):
         return out.at[self.src].set(values_sorted, mode="drop", unique_indices=True)
 
 
-def sorted_occurrence_stream(hi: jax.Array, lo: jax.Array, valid: jax.Array) -> SortedStream:
+def sorted_occurrence_stream(
+    hi: jax.Array, lo: jax.Array, valid: jax.Array, hi_is_zero: bool = False
+) -> SortedStream:
     """Sort the flat occurrence stream and derive segment structure.
 
     Args:
       hi, lo: uint32 [N] code planes in stream order.
       valid: bool [N]; invalid occurrences are pushed to the end and excluded.
+      hi_is_zero: k <= 16 => the hi plane is structurally zero; sort 2 keys
+        instead of 3 (a few ms per 4M-window batch) and flag invalids in lo.
 
-    The sort is a 3-key lexicographic ``jax.lax.sort`` — the trailing unique stream
+    The sort is lexicographic ``jax.lax.sort`` — the trailing unique stream
     index makes it stable, which is what gives ranks their sequential meaning.
     """
     n = hi.shape[0]
-    khi = jnp.where(valid, hi, _SENTINEL_HI)
-    klo = jnp.where(valid, lo, _SENTINEL_HI)
     pos = jnp.arange(n, dtype=jnp.int32)
-    shi, slo, src = jax.lax.sort((khi, klo, pos), num_keys=3)
-
-    svalid = shi != _SENTINEL_HI
+    if hi_is_zero:
+        # lo < 2^30 for k<=15 (2-bit codes), and for k=16 the all-T code is
+        # 0xFFFFFFFF == the sentinel only if the k-mer is TTTTTTTTTTTTTTTT;
+        # keep the 3-key path for k==16 at the caller.
+        klo = jnp.where(valid, lo, _SENTINEL_HI)
+        slo, src = jax.lax.sort((klo, pos), num_keys=2)
+        shi = jnp.zeros_like(slo)
+        svalid = slo != _SENTINEL_HI
+        shi = jnp.where(svalid, shi, _SENTINEL_HI)
+    else:
+        khi = jnp.where(valid, hi, _SENTINEL_HI)
+        klo = jnp.where(valid, lo, _SENTINEL_HI)
+        shi, slo, src = jax.lax.sort((khi, klo, pos), num_keys=3)
+        svalid = shi != _SENTINEL_HI
     first = jnp.zeros((n,), jnp.bool_).at[0].set(True)
     changed = jnp.concatenate(
         [first[:1], (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]

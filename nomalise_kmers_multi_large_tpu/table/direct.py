@@ -70,6 +70,18 @@ class DirectTable(CountTable):
         return TableState(counts=counts, keys=None, used=state.used, overflow=state.overflow), observed
 
     # ------------------------------------------------------------------
+    def relaxed_update(self, state: TableState, lo, valid):
+        """Sort-free path for relaxed mode: per-occurrence prior gather in
+        stream order + duplicate-index scatter-add. Skips the global sort and
+        the unsort permutation entirely; within-record sequentiality is
+        reconstructed by the caller's pair-local ranks."""
+        slot = jnp.where(valid, lo.astype(jnp.int32), _I32_MIN)
+        prior = state.counts.at[slot].get(mode="fill", fill_value=0)
+        counts = state.counts.at[slot].add(
+            jnp.where(valid, 1, 0), mode="drop"
+        )
+        return TableState(counts, None, state.used, state.overflow), prior
+
     def used_count(self, state: TableState, seeded_lo: Optional[np.ndarray] = None) -> int:
         """Occupied-slot count (reference ht->used): nonzero counts plus seeded
         codes whose count is still 0 (they occupy a slot in the reference)."""
