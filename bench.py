@@ -34,7 +34,7 @@ def main():
     import jax.numpy as jnp
 
     from nomalise_kmers_multi_large_tpu.engine.step import BatchStep
-    from nomalise_kmers_multi_large_tpu.table import DirectTable
+    from nomalise_kmers_multi_large_tpu.table import BucketTable
 
     pad = READ_LEN  # exactly L-k+1 = 136 windows per read (sublane-aligned)
     rng = np.random.default_rng(0)
@@ -49,15 +49,14 @@ def main():
     lengths = np.full((BATCH_READS,), READ_LEN, np.int32)
     rec_valid = np.ones((BATCH_READS // 2,), bool)
 
-    # relaxed mode: pair-local sequential ranks, batch-order independent —
-    # the apples-to-apples comparison with the reference's published 10-CPU
-    # number, which is itself thread-relaxed (independent per-thread tables,
-    # README.md:68). Exact mode (bit-identical to the single-CPU reference)
-    # benches ~20% lower; see docs/PERF_NOTES.md.
-    table = DirectTable(K)
+    # bucket table: the fused Pallas kernel path with EXACT sequential
+    # semantics (bit-identical decisions to the single-CPU reference for any
+    # batch size) — faster than the old relaxed XLA scatter path; see
+    # docs/PERF_NOTES.md and ops/bucket_kernel.py.
+    table = BucketTable(K)
     step = BatchStep(
         table, k=K, depth_per_shard=50, coverage=0.9,
-        canonical=False, paired=True, mode="relaxed",
+        canonical=False, paired=True, mode="exact",
     )
     state = table.init()
     lengths_d = jnp.asarray(lengths)
@@ -80,7 +79,7 @@ def main():
 
     reads_per_s = BATCH_READS * ITERS / dt
     print(json.dumps({
-        "metric": "reads/s/chip kmer count+filter (k=15, paired, relaxed pair-local mode)",
+        "metric": "reads/s/chip kmer count+filter (k=15, paired, exact mode, bucket table)",
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),

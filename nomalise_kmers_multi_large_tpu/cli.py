@@ -57,7 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--mode", choices=["exact", "relaxed"], default="exact",
                      help="exact = reference-sequential semantics via sort-based "
                           "ranks; relaxed = pair-local ranks (batch-order independent)")
-    tpu.add_argument("--table", choices=["auto", "direct", "hashed"], default="auto")
+    tpu.add_argument(
+        "--table", choices=["auto", "bucket", "direct", "hashed"], default="auto"
+    )
     tpu.add_argument("--out-dir", default=".", help="output directory")
     tpu.add_argument("--stride", type=int, default=1,
                      help="sample every s-th k-mer window (1 = reference semantics; "
@@ -161,8 +163,15 @@ def main(argv=None) -> int:
     import jax
 
     # startup table report (reference parse_arguments :686)
-    cap = (4 ** cfg.ksize) if cfg.table_kind == "direct" else cfg.initial_hash_capacity
-    bytes_per_slot = 4 if cfg.table_kind == "direct" else 12
+    if cfg.table_kind == "direct":
+        cap, bytes_per_slot = 4 ** cfg.ksize, 4
+    elif cfg.table_kind == "bucket":
+        from nomalise_kmers_multi_large_tpu.table.bucket import LANES, default_rows
+
+        mem = cfg.memory_gb * (1 << 30) if cfg.memory_gb else None
+        cap, bytes_per_slot = default_rows(cfg.ksize, mem) * LANES, 8
+    else:
+        cap, bytes_per_slot = cfg.initial_hash_capacity, 12
     print(
         f"{cfg.table_kind} count table: {cap:,} slots per shard "
         f"(maximum for k={cfg.ksize} is {4 ** cfg.ksize:,}); "

@@ -61,7 +61,7 @@ class Config:
     mode: Literal["exact", "relaxed"] = "exact"
     #: 'direct' = dense 4^k count array (exact reference semantics, k<=15);
     #: 'hashed' = open-addressing device table with growth; 'auto' picks.
-    table: Literal["auto", "direct", "hashed"] = "auto"
+    table: Literal["auto", "bucket", "direct", "hashed"] = "auto"
     max_read_len: int = 1023             # reference MAX_LINE_LENGTH-1 (:139)
     pad_read_len: int = 0                # 0 => derived from data (rounded up to 128)
     seed_records: int = 0                # 0 => reference formula 1 + 3e6/n_fwd_files
@@ -178,10 +178,14 @@ class Config:
             )
         if self.mode not in ("exact", "relaxed"):
             raise ConfigError(f"mode must be exact or relaxed, not {self.mode}")
-        if self.table not in ("auto", "direct", "hashed"):
-            raise ConfigError(f"table must be auto, direct or hashed, not {self.table}")
+        if self.table not in ("auto", "bucket", "direct", "hashed"):
+            raise ConfigError(
+                f"table must be auto, bucket, direct or hashed, not {self.table}"
+            )
         if self.table == "direct" and self.ksize > 15:
             raise ConfigError("direct table supports k<=15 (4^k int32 slots); use hashed")
+        if self.table == "bucket" and self.ksize > 15:
+            raise ConfigError("bucket table supports k<=15; use hashed for larger k")
         if self.stride < 1 or self.stride > self.ksize:
             raise ConfigError(f"stride ({self.stride}) must be in [1, k]")
         return self

@@ -139,7 +139,21 @@ class BatchStep:
         W = hi.shape[1]
         n = R * W
 
+        from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
         from nomalise_kmers_multi_large_tpu.table.direct import DirectTable
+
+        if isinstance(self.table, BucketTable):
+            # fused Pallas path: upsert + classify + per-read aggregation in
+            # one kernel; semantics are EXACT (reference-sequential) for any
+            # batch size regardless of self.mode (ops/bucket_kernel.py)
+            state, out = self.table.process_batch(
+                state, lo, valid, depth=self.depth, windows_per_read=W
+            )
+            high_per_read = out.high_per_read[:R]
+            total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
+            return self._classify(
+                state, high_per_read, total_per_read, rec_valid
+            )
 
         if self.mode == "relaxed" and isinstance(self.table, DirectTable):
             # sort-free fast path: stream-order prior gather + duplicate
@@ -172,7 +186,10 @@ class BatchStep:
 
         total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
         high_per_read = jnp.sum(high & valid, axis=1).astype(jnp.int32)
+        return self._classify(state, high_per_read, total_per_read, rec_valid)
 
+    def _classify(self, state, high_per_read, total_per_read, rec_valid):
+        """Keep/skip decision + batch stats from per-read window tallies."""
         if self.paired:
             keep = keep_mask_paired(
                 high_per_read[0::2], total_per_read[0::2],
@@ -197,6 +214,16 @@ class BatchStep:
         R = bases.shape[0]
         hi, lo, valid = self._encode(bases, lengths)
         n = R * hi.shape[1]
+
+        from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
+
+        if isinstance(self.table, BucketTable):
+            state, _ = self.table.process_batch(
+                state, lo, valid, depth=self.depth,
+                windows_per_read=hi.shape[1], seed=True
+            )
+            return state
+
         stream = sorted_occurrence_stream(
             hi.reshape(n), lo.reshape(n), valid.reshape(n),
             hi_is_zero=self.k <= 15,

@@ -1,12 +1,23 @@
+from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable  # noqa: F401
 from nomalise_kmers_multi_large_tpu.table.direct import DirectTable  # noqa: F401
 from nomalise_kmers_multi_large_tpu.table.hashed import HashedTable  # noqa: F401
 from nomalise_kmers_multi_large_tpu.table.base import CountTable, TableState  # noqa: F401
 
 
 def make_table(cfg) -> "CountTable":
-    """Pick the table implementation for a config (direct for k<=15 unless told
-    otherwise; mirrors the reference's 'size the table to 4^k and collisions vanish'
-    advice, normalise_kmers_multi_large.c:20-22)."""
-    if cfg.table_kind == "direct":
+    """Pick the table implementation for a config.
+
+    - "bucket": the production Pallas bucket table (k<=15): exact sequential
+      semantics, compact state, no XLA scatter/gather on the hot path.
+    - "direct": dense 4^k int32 array (k<=15) — the layout the reference's
+      own sizing advice degenerates to (normalise_kmers_multi_large.c:20-22).
+    - "hashed": open-addressing table with device growth for k>15.
+    """
+    kind = cfg.table_kind
+    if kind == "bucket":
+        from nomalise_kmers_multi_large_tpu.table.bucket import default_rows
+        mem = cfg.memory_gb * (1 << 30) if cfg.memory_gb else None
+        return BucketTable(k=cfg.ksize, rows=default_rows(cfg.ksize, mem))
+    if kind == "direct":
         return DirectTable(k=cfg.ksize)
     return HashedTable(k=cfg.ksize, initial_capacity=cfg.initial_hash_capacity)

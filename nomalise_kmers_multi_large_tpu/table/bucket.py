@@ -1,0 +1,131 @@
+"""Bucket count table: exact, compact, Pallas-accelerated (k <= 15).
+
+The production table for the TPU engine. Capabilities match the reference's
+open-addressing table (``store_kmer`` normalise_kmers_multi_large.c:929-1053)
+with exact sequential semantics, but the layout is designed for the MXU
+instead of per-element probing: codes live in 128-wide bucket rows addressed
+by a bijective mix of the code (ops/mix.py), and the whole batch is processed
+by one fused Pallas kernel (ops/bucket_kernel.py) — no XLA scatter/gather
+anywhere on the hot path.
+
+State mapping onto TableState:
+  counts -> int32 [rows, 128] slot counts
+  keys   -> int32 [rows, 128] fingerprint+1 (0 = empty slot)
+  used   -> int32 [] occupied slots (refreshed lazily)
+  overflow -> int32 [] dropped inserts (bucket full); nonzero => grow
+
+Unlike Direct/Hashed, this table exposes a whole-batch interface
+(`process_batch`) that returns per-read high-window counts directly; the
+engine prefers it when available because it folds classification and
+aggregation into the kernel. The SortedStream interface (`count_and_update`)
+is intentionally not implemented.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nomalise_kmers_multi_large_tpu.ops.bucket_kernel import (
+    LANES, BucketBatchOut, bucket_batch,
+)
+from nomalise_kmers_multi_large_tpu.ops.mix import mix32, unmix32_np
+from nomalise_kmers_multi_large_tpu.table.base import CountTable, TableState
+
+
+def default_rows(k: int, memory_bytes: Optional[int] = None) -> int:
+    """Pick bucket-row count: enough rows that fingerprints fit 16 bits
+    (rows >= 4^k / 2^16), at least one 128-row tile, and — when a memory
+    budget is given (reference --memory_start semantics, nk.c:676) — about
+    8 bytes per slot of budget, capped at 4^k codes / 64 per-row headroom."""
+    floor = max(128, (4 ** k) >> 16)
+    if memory_bytes is None:
+        rows = max(floor, 16384 if k >= 13 else floor)
+    else:
+        rows = floor
+        while rows * LANES * 8 * 2 <= memory_bytes and rows < (4 ** k) // 64:
+            rows *= 2
+    return min(max(rows, floor), max(4 ** k // 64, floor))
+
+
+class BucketTable(CountTable):
+    def __init__(self, k: int, rows: Optional[int] = None,
+                 interpret: Optional[bool] = None):
+        if k > 15:
+            raise ValueError("BucketTable currently supports k<=15 "
+                             "(single-plane 30-bit codes)")
+        self.k = k
+        self.rows = rows or default_rows(k)
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+
+    @property
+    def capacity(self) -> int:
+        return self.rows * LANES
+
+    def init(self) -> TableState:
+        return TableState(
+            counts=jnp.zeros((self.rows, LANES), jnp.int32),
+            keys=jnp.zeros((self.rows, LANES), jnp.int32),
+            used=jnp.zeros((), jnp.int32),
+            overflow=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def process_batch(
+        self, state: TableState, lo: jax.Array, valid: jax.Array,
+        *, depth: int, windows_per_read: int, seed: bool = False,
+        chunk: int = 2048,
+    ) -> tuple[TableState, BucketBatchOut]:
+        """One whole-batch upsert+classify. `lo` uint32 [R, W] code planes in
+        stream order, `valid` bool [R, W]. Returns per-read high counts."""
+        n = lo.shape[0] * lo.shape[1]
+        mixed = mix32(lo.reshape(n), 2 * self.k)
+        out = bucket_batch(
+            state.keys, state.counts, mixed, valid.reshape(n),
+            k=self.k, rows=self.rows, depth=depth,
+            windows_per_read=windows_per_read, chunk=chunk, seed=seed,
+            interpret=self.interpret,
+        )
+        new_state = TableState(
+            counts=out.counts, keys=out.fp, used=state.used,
+            overflow=state.overflow + out.overflow,
+        )
+        return new_state, out
+
+    # ------------------------------------------------------------------
+    def count_and_update(self, state, stream, seed=False):
+        raise NotImplementedError(
+            "BucketTable uses process_batch (whole-batch kernel), not the "
+            "SortedStream interface")
+
+    def used_count(self, state: TableState,
+                   seeded_lo: Optional[np.ndarray] = None) -> int:
+        """Occupied slots (reference ht->used). Seeds are REAL entries here
+        (count 0, fingerprint set) so no host-side seed bookkeeping needed."""
+        return int(jnp.sum(state.keys != 0))
+
+    def needs_growth(self, state: TableState) -> bool:
+        return int(state.overflow) > 0
+
+    def export(self, state: TableState,
+               seeded_lo: Optional[np.ndarray] = None):
+        """(hi, lo, count) of occupied slots in ascending code order — the
+        same order DirectTable dumps, so -P output is table-implementation
+        independent (the reference dumps its own slot order, which we
+        deliberately normalize; see docs/ARCHITECTURE.md)."""
+        fp = np.asarray(state.keys)
+        cnt = np.asarray(state.counts)
+        occ_r, occ_l = np.nonzero(fp)
+        fp_bits = 2 * self.k - int(np.log2(self.rows))
+        mixed = (occ_r.astype(np.uint64) << np.uint64(fp_bits)) | \
+            (fp[occ_r, occ_l].astype(np.uint64) - 1)
+        codes = unmix32_np(mixed.astype(np.uint32), 2 * self.k)
+        vals = cnt[occ_r, occ_l].astype(np.int32)
+        order = np.argsort(codes, kind="stable")
+        codes, vals = codes[order], vals[order]
+        hi = np.zeros_like(codes, dtype=np.uint32)
+        return hi, codes.astype(np.uint32), vals
