@@ -57,6 +57,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nomalise_kmers_multi_large_tpu.ops.mix import mix32
+from nomalise_kmers_multi_large_tpu.ops.segscan import (
+    BLOCK as _SCAN_BLOCK, rank_cand_scan,
+)
 
 LANES = 128          # slots (distinct codes) per bucket row
 TILE_ROWS = 128      # bucket rows per grid tile
@@ -70,7 +73,14 @@ class BucketBatchOut(NamedTuple):
     overflow: jax.Array  # int32 [] inserts dropped (bucket full / cand >= 128)
 
 
-def _kernel(fp_bits: int, depth: int, chunk: int,
+def _onehot(cond):
+    """bf16 one-hot from a predicate. The f32 select is deliberate: masks from
+    32-bit compares carry an (8,128) i1 layout, and selecting 16-bit values
+    directly would force an unsupported (16,128) mask relayout in Mosaic."""
+    return jnp.where(cond, 1.0, 0.0).astype(jnp.bfloat16)
+
+
+def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             # prefetch
             step_tile, step_chunk, step_active, seed_ref,
             # inputs
@@ -105,7 +115,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
     seed = seed_ref[0] != 0
 
     E = chunk
-    R = TILE_ROWS
+    R = tile_rows
     fmask = jnp.int32((1 << fp_bits) - 1)
 
     p1 = p1_ref[:]                               # (E,1) int32: mixed (sentinel<0)
@@ -115,18 +125,24 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
     mixed = p1
     grow = jax.lax.shift_right_logical(pltpu.bitcast(p1, jnp.uint32),
                                        jnp.uint32(fp_bits)).astype(jnp.int32)
-    lrow = grow - tile * R
+    # fold `active` into the tile id at SCALAR level: pad steps alias the
+    # last real (tile, chunk) block, and tile_eff = -2 pushes every lrow
+    # outside [0, R) so no vector op needs the scalar flag (mixing scalar
+    # bools into vector masks trips Mosaic relayouts)
+    tile_eff = jnp.where(active, tile, -2)
+    lrow = grow - tile_eff * R
     fpv1 = jnp.bitwise_and(mixed, fmask) + 1     # fingerprint+1, >= 1
     rank = jnp.bitwise_and(p2, jnp.uint32(0xFFFF)).astype(jnp.int32)
     rid = jax.lax.shift_right_logical(p2, jnp.uint32(16)).astype(jnp.int32)
 
-    # element is processed exactly once: in its own tile's step
-    valid = (mixed >= 0) & active & (lrow >= 0) & (lrow < R)
+    # element is processed exactly once: in its own tile's step (sentinel /
+    # out-of-tile / pad-step elements all land outside [0, R))
+    valid = (mixed >= 0) & (lrow >= 0) & (lrow < R)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (E, R), 1)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (E, LANES), 1)
 
-    A = jnp.where((lrow == r_iota) & valid, 1.0, 0.0).astype(jnp.bfloat16)
+    A = _onehot(lrow == r_iota)
 
     mm = partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
     mm_nt = lambda a, b: mm(a, b, (((1,), (0,)), ((), ())))   # (E,R)@(R,L)
@@ -150,8 +166,11 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
 
     fpv1_f = fpv1.astype(jnp.float32)            # (E,1)
     match = (row_fp == fpv1_f).astype(jnp.float32)          # (E,L) one-hot
-    is_match = jnp.sum(match, axis=1, keepdims=True)        # (E,1) 0/1
-    prior = jnp.sum(match * row_cnt, axis=1, keepdims=True)
+    # single lane-reduction recovers BOTH is_match and prior: counts are
+    # clamped <= 65535 < 2^17, and prior + 2^17 < 2^24 stays exact in f32
+    mboth = jnp.sum(match * (row_cnt + 131072.0), axis=1, keepdims=True)
+    is_match = jnp.where(mboth >= 131072.0, 1.0, 0.0)       # (E,1) 0/1
+    prior = mboth - is_match * 131072.0
 
     # ---- insert path: only taken when some element missed the table.
     # In steady state (deep stream, most k-mers already present) whole
@@ -165,13 +184,14 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
         # lane-prefix scan + one matmul lookup.
         occ = jnp.sum(jnp.where(fpt != 0, 1.0, 0.0), axis=1, keepdims=True)
         insert = (is_match == 0.0) & (rank == 1) & valid & (cand < LANES)
-        ins_f = jnp.where(insert, 1.0, 0.0).astype(jnp.bfloat16)
-        B_cand = jnp.where((cand == l_iota) & valid & (cand < LANES), 1.0, 0.0
-                           ).astype(jnp.bfloat16)
+        ins_f = _onehot(insert)
+        # cand == l_iota already implies cand < LANES; validity is enforced
+        # through ins_f / unmatched wherever B_cand feeds a write
+        B_cand = _onehot(cand == l_iota)
         # cnew[r, j] = 1 iff candidate j of row r inserts in this step
         cnew = mm_tn(A * ins_f, B_cand)          # (R, L) f32 0/1
         # exclusive prefix along lanes via Hillis-Steele log-doubling
-        tl_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+        tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         inc = cnew
         shift = 1
         while shift < LANES:
@@ -185,8 +205,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
         )                                        # (E,1)
         fits = lane_new < float(LANES)
         unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
-        B_new = jnp.where((lane_new == l_iota.astype(jnp.float32)) & unmatched,
-                          1.0, 0.0).astype(jnp.bfloat16)
+        B_new = _onehot((lane_new == l_iota.astype(jnp.float32)) & unmatched)
         B_ins = B_new * ins_f                    # exactly one writer per (r,l)
         f_hi = (fpv1 >> 8).astype(jnp.bfloat16)  # <= 256: exact in bf16
         f_lo = (fpv1 & 255).astype(jnp.bfloat16)
@@ -198,7 +217,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
 
     def _no_insert(_):
         return (jnp.zeros((E, LANES), jnp.bfloat16),
-                jnp.zeros((TILE_ROWS, LANES), jnp.float32),
+                jnp.zeros((R, LANES), jnp.float32),
                 jnp.zeros((), jnp.float32))
 
     B_new, wrote, dropped = jax.lax.cond(any_un, _insert_path, _no_insert, None)
@@ -212,12 +231,16 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
 
     # ---- classification + per-read aggregation ----
     observed = prior + jnp.minimum(rank, 65535).astype(jnp.float32)
-    high = jnp.where((observed >= float(depth)) & valid, 1.0, 0.0)
+    # validity folded into the (E,1) high flag so Ar/Br stay pure one-hots
+    high = _onehot((observed >= float(depth)) & valid)
     rrow = jax.lax.shift_right_logical(rid, 7)
     rcol = jnp.bitwise_and(rid, 127)
-    Ar = jnp.where((rrow == r_iota) & valid, 1.0, 0.0).astype(jnp.bfloat16)
-    Br = jnp.where((rcol == l_iota) & valid, 1.0, 0.0).astype(jnp.bfloat16)
-    recsum_ref[:] += mm_tn(Ar * high.astype(jnp.bfloat16), Br)
+    rr_iota = jax.lax.broadcasted_iota(jnp.int32, (E, 128), 1)
+    Ar = _onehot(rrow == rr_iota)
+    Br = _onehot(rcol == l_iota)
+    recsum_ref[:] += jax.lax.dot_general(
+        Ar * high, Br, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     # ---- stats: dropped inserts (bucket overflow or candidate index >= 128) ----
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
@@ -233,7 +256,8 @@ def _kernel(fp_bits: int, depth: int, chunk: int,
 def bucket_batch(
     fp, counts, mixed_flat, valid_flat, *,
     k: int, rows: int, depth: int, windows_per_read: int,
-    chunk: int = 2048, seed: bool = False, interpret: bool = False,
+    chunk: int = 2048, tile_rows: int = TILE_ROWS, seed: bool = False,
+    interpret: bool = False,
 ):
     """Run one batch through the bucket table.
 
@@ -260,10 +284,15 @@ def bucket_batch(
     fp_bits = 2 * k - rb
     assert 1 <= fp_bits <= 16, (
         f"need rows >= 4^k/2^16: k={k} rows={rows} -> fp_bits={fp_bits}")
-    n_tiles = rows // TILE_ROWS
+    tb = int(np.log2(tile_rows))
+    assert tile_rows == 1 << tb and 8 <= tile_rows <= rows
+    n_tiles = rows // tile_rows
     assert n_tiles >= 1
 
-    npad = -(-n // chunk) * chunk
+    # pad the stream so both the scan kernel (32768-element blocks) and the
+    # bucket grid (chunk-element blocks) divide it evenly
+    quantum = max(chunk, _SCAN_BLOCK)
+    npad = -(-n // quantum) * quantum
     pad = npad - n
     n_chunks = npad // chunk
     n_steps = n_chunks + n_tiles  # static bound: chunks + tile crossings
@@ -272,34 +301,24 @@ def bucket_batch(
     if pad:
         key = jnp.concatenate([key, jnp.full((pad,), _SENT, jnp.uint32)])
     pos = jnp.arange(npad, dtype=jnp.int32)
-    skey, src = jax.lax.sort((key, pos), num_keys=2)
+    # stable 1-key sort == 2-key (key, pos) sort but ~30% cheaper on TPU
+    # (experiments/perf_sortvariants.py); stability supplies stream order
+    # within equal codes, which the exact-rank semantics require.
+    skey, src = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
 
-    svalid = skey != _SENT
-    iota = pos
-    changed = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]])
-    head = jax.lax.cummax(jnp.where(changed, iota, 0))
-    rank = jnp.minimum(iota - head + 1, 65535)
-    rid = jnp.minimum(src // w, n_reads - 1)
-
-    # candidate index: rank of the element's code among the distinct codes of
-    # its bucket row within this batch (insert-lane resolution, see _kernel)
-    srow = jax.lax.shift_right_logical(skey, jnp.uint32(fp_bits))
-    rchanged = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), srow[1:] != srow[:-1]])
-    segidx = jnp.cumsum(changed.astype(jnp.int32)) - 1
-    rowhead_seg = jax.lax.cummax(jnp.where(rchanged, segidx, 0))
-    cand = jnp.minimum(segidx - rowhead_seg, LANES)  # clamp -> dropped+counted
+    # rank within equal-code run + candidate index within bucket row, fused
+    # into one bandwidth-bound Pallas pass (ops/segscan.py) — as XLA
+    # cummax/cumsum these cost as much as the sort itself
+    p2f, p3f = rank_cand_scan(skey, src, fp_bits=fp_bits, w=w,
+                              n_reads=n_reads, interpret=interpret)
 
     p1 = jax.lax.bitcast_convert_type(skey, jnp.int32)[:, None]
-    p2 = jax.lax.bitcast_convert_type(
-        (rid.astype(jnp.uint32) << jnp.uint32(16))
-        | rank.astype(jnp.uint32), jnp.int32)[:, None]
-    p3 = cand.astype(jnp.int32)[:, None]
+    p2 = p2f[:, None]
+    p3 = p3f[:, None]
 
     # ---- step -> (tile, chunk) maps ----
     elem_tile = jnp.minimum(
-        jax.lax.shift_right_logical(skey, jnp.uint32(fp_bits + 7)),
+        jax.lax.shift_right_logical(skey, jnp.uint32(fp_bits + tb)),
         jnp.uint32(n_tiles)).astype(jnp.int32)
     first_t = elem_tile[0::chunk]
     last_t = elem_tile[chunk - 1::chunk]
@@ -341,31 +360,31 @@ def bucket_batch(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda s, st, sc, sa, sf: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda s, st, sc, sa, sf: (0, 0),
+            pl.BlockSpec((128, LANES), lambda s, st, sc, sa, sf: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda s, st, sc, sa, sf: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_rows, LANES), jnp.float32)],
     )
 
     fp2, counts2, recsum, stats = pl.pallas_call(
-        partial(_kernel, fp_bits, depth, chunk),
+        partial(_kernel, fp_bits, depth, chunk, tile_rows),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((TILE_ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((128, LANES), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         # tensor operand order: 4 prefetch + [p1, p2, p3, fp, counts]

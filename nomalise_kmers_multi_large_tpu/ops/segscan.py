@@ -1,0 +1,170 @@
+"""Fused segment scans over the sorted code stream (Pallas).
+
+The bucket step needs, for every element of the SORTED window stream, three
+prefix quantities (ops/bucket_kernel.py preprocessing):
+
+  rank    1-based occurrence rank within its run of equal codes — the exact
+          sequential-semantics rank (reference upsert-then-test order,
+          normalise_kmers_multi_large.c:1487-1497);
+  cand    index of the element's code among the distinct codes of its bucket
+          row within the batch (insert-lane resolution);
+  p2      (read_id << 16) | rank packing consumed by the bucket kernel.
+
+As plain XLA ops these are one cummax + one cumsum + one cummax over the flat
+N-element stream, which XLA lowers to ~3.5 ns/element on TPU — as expensive
+as the sort itself. This kernel computes all three in ONE pass at HBM
+bandwidth using two-level scans: log-roll Hillis-Steele along lanes, a
+sublane-dim scan of row aggregates, and a scalar carry chained through the
+sequential grid (SMEM scratch).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_LANES = 512
+BLOCK_SUBLANES = 64
+BLOCK = BLOCK_LANES * BLOCK_SUBLANES  # elements per grid step
+
+
+def _lane_scan(x, op):
+    """Inclusive scan along axis=1 (lanes) via log-doubling rolls."""
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < x.shape[1]:
+        r = pltpu.roll(x, shift, 1)
+        x = jnp.where(l_iota >= shift, op(x, r), x)
+        shift *= 2
+    return x
+
+
+def _row_scan_inclusive(rowagg, op):
+    """Inclusive scan along axis=0 (sublanes) of an (S, 1) column."""
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, rowagg.shape, 0)
+    shift = 1
+    while shift < rowagg.shape[0]:
+        r = pltpu.roll(rowagg, shift, 0)
+        rowagg = jnp.where(s_iota >= shift, op(rowagg, r), rowagg)
+        shift *= 2
+    return rowagg
+
+
+def _two_level(vals, op, identity, carry):
+    """Inclusive row-major scan of an (S, L) block given the carry scalar.
+
+    Returns (scanned block incl. carry, new carry scalar)."""
+    lane = _lane_scan(vals, op)
+    rowagg = lane[:, BLOCK_LANES - 1:BLOCK_LANES]            # (S, 1)
+    incl = _row_scan_inclusive(rowagg, op)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, incl.shape, 0)
+    excl = jnp.where(s_iota >= 1, pltpu.roll(incl, 1, 0), identity)
+    out = op(op(lane, excl), carry)
+    new_carry = op(incl[BLOCK_SUBLANES - 1, 0], carry)
+    return out, new_carry
+
+
+def _kernel(fp_bits: int, n_reads: int,
+            key_ref, rid16_ref, p2_ref, p3_ref, carry_ref):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        carry_ref[0] = 0            # prev block's last key bits (unused at s=0)
+        carry_ref[1] = 0            # cumsum(changed) so far
+        carry_ref[2] = -1           # cummax(changed ? gidx : -1) so far
+        carry_ref[3] = -1           # cummax(rchanged ? segidx : -1) so far
+
+    key = key_ref[:]                                         # (S, L) int32 bits
+    gidx = (s * BLOCK
+            + jax.lax.broadcasted_iota(jnp.int32, key.shape, 0) * BLOCK_LANES
+            + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1))
+
+    # previous element in row-major order: (s, l-1), or (s-1, L-1) for l == 0
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    prev_lane = pltpu.roll(key, 1, 1)
+    prev_row_last = pltpu.roll(key[:, BLOCK_LANES - 1:BLOCK_LANES], 1, 0)
+    prev = jnp.where(l_iota == 0, prev_row_last, prev_lane)
+    first = gidx == 0
+    prev = jnp.where(gidx == s * BLOCK, carry_ref[0], prev)  # block boundary
+
+    changed = (key != prev) | first
+    row = jax.lax.shift_right_logical(
+        pltpu.bitcast(key, jnp.uint32), jnp.uint32(fp_bits))
+    prow = jax.lax.shift_right_logical(
+        pltpu.bitcast(prev, jnp.uint32), jnp.uint32(fp_bits))
+    rchanged = (row != prow) | first
+
+    vmax = lambda a, b: jnp.maximum(a, b)
+    vadd = lambda a, b: a + b
+
+    head, c_head = _two_level(
+        jnp.where(changed, gidx, -1), vmax, jnp.int32(-1), carry_ref[2])
+    csum, c_sum = _two_level(
+        changed.astype(jnp.int32), vadd, jnp.int32(0), carry_ref[1])
+    segidx = csum - 1
+    rowhead, c_row = _two_level(
+        jnp.where(rchanged, segidx, -1), vmax, jnp.int32(-1), carry_ref[3])
+
+    rank = jnp.minimum(gidx - head + 1, 65535)
+    cand = jnp.minimum(segidx - rowhead, 128)
+
+    p2_ref[:] = rid16_ref[:] | rank
+    p3_ref[:] = cand
+
+    carry_ref[0] = key[BLOCK_SUBLANES - 1, BLOCK_LANES - 1]
+    carry_ref[1] = c_sum
+    carry_ref[2] = c_head
+    carry_ref[3] = c_row
+
+
+def rank_cand_scan(skey: jax.Array, src: jax.Array, *, fp_bits: int, w: int,
+                   n_reads: int, interpret: bool = False):
+    """Compute (p2, p3) for the bucket kernel from the sorted key/src streams.
+
+    Args:
+      skey: uint32 [N] sorted mixed codes (pads = 0xFFFFFFFF). N must be a
+        multiple of BLOCK (32768) — callers pad with the sentinel.
+      src: int32 [N] original stream position of each sorted element.
+      fp_bits: fingerprint bits (bucket row = skey >> fp_bits).
+      w: windows per read; n_reads: reads in batch (read id clamp).
+
+    Returns:
+      p2 int32 [N] = (read_id << 16) | rank(<=65535)
+      p3 int32 [N] = candidate index within bucket row, clamped to 128.
+    """
+    n = skey.shape[0]
+    assert n % BLOCK == 0, f"pad stream to a multiple of {BLOCK}, got {n}"
+    n_steps = n // BLOCK
+    rid16 = jnp.minimum(src // w, n_reads - 1) << 16
+
+    key2d = jax.lax.bitcast_convert_type(skey, jnp.int32).reshape(
+        n // BLOCK_LANES, BLOCK_LANES)
+    rid2d = rid16.reshape(n // BLOCK_LANES, BLOCK_LANES)
+
+    p2, p3 = pl.pallas_call(
+        partial(_kernel, fp_bits, n_reads),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(key2d.shape, jnp.int32),
+            jax.ShapeDtypeStruct(key2d.shape, jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+        interpret=interpret,
+    )(key2d, rid2d)
+    return p2.reshape(n), p3.reshape(n)

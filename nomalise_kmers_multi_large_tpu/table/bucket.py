@@ -41,23 +41,29 @@ def default_rows(k: int, memory_bytes: Optional[int] = None) -> int:
     budget is given (reference --memory_start semantics, nk.c:676) — about
     8 bytes per slot of budget, capped at 4^k codes / 64 per-row headroom."""
     floor = max(128, (4 ** k) >> 16)
+    # --memory_start describes the reference's HOST-RAM model (16 B/slot/cpu);
+    # our table lives in HBM, so cap rows at 2^20 (1 GiB of fp+count state =
+    # 128M slots) regardless of the flag — overflow-triggered growth covers
+    # the rare row that fills its 128 lanes.
+    ceiling = max(floor, min(4 ** k // 64, 1 << 20))
     if memory_bytes is None:
         rows = max(floor, 16384 if k >= 13 else floor)
     else:
         rows = floor
-        while rows * LANES * 8 * 2 <= memory_bytes and rows < (4 ** k) // 64:
+        while rows * LANES * 8 * 2 <= memory_bytes and rows < ceiling:
             rows *= 2
-    return min(max(rows, floor), max(4 ** k // 64, floor))
+    return min(max(rows, floor), ceiling)
 
 
 class BucketTable(CountTable):
     def __init__(self, k: int, rows: Optional[int] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, tile_rows: int = 128):
         if k > 15:
             raise ValueError("BucketTable currently supports k<=15 "
                              "(single-plane 30-bit codes)")
         self.k = k
         self.rows = rows or default_rows(k)
+        self.tile_rows = min(tile_rows, self.rows)
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
@@ -87,7 +93,8 @@ class BucketTable(CountTable):
         out = bucket_batch(
             state.keys, state.counts, mixed, valid.reshape(n),
             k=self.k, rows=self.rows, depth=depth,
-            windows_per_read=windows_per_read, chunk=chunk, seed=seed,
+            windows_per_read=windows_per_read, chunk=chunk,
+            tile_rows=self.tile_rows, seed=seed,
             interpret=self.interpret,
         )
         new_state = TableState(
