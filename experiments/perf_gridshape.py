@@ -39,7 +39,7 @@ def timeit(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def _kernel(p1_ref, p2_ref, p3_ref, t1_ref, t2_ref, o_ref):
+def _kernel(st_ref, sc_ref, p1_ref, p2_ref, p3_ref, t1_ref, t2_ref, o_ref):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -69,7 +69,7 @@ def build(shape2d: bool, n_inputs: int = 3):
             + [pl.BlockSpec((128, 128), tindex, memory_space=pltpu.VMEM)] * 2
         )
         return pl.pallas_call(
-            _kernel if n_inputs == 3 else _kernel3,
+            _kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(N_STEPS,),
@@ -81,14 +81,6 @@ def build(shape2d: bool, n_inputs: int = 3):
         )(step_tilev, step_chunkv, *ins)
 
     return run
-
-
-def _kernel3(*refs):
-    s = pl.program_id(0)
-
-    @pl.when(s == 0)
-    def _():
-        refs[-1][:] = jnp.zeros_like(refs[-1])
 
 
 def main():

@@ -19,7 +19,7 @@ K = 15
 ROWS = 16384
 READS = 16384
 PAD = 150
-CHUNK = 2048
+CHUNK = 16384
 _SENT = jnp.uint32(0xFFFFFFFF)
 
 
@@ -61,18 +61,9 @@ def stage_sort(mixed_flat, valid_flat):
 
 @jax.jit
 def stage_rank(skey, src):
-    npad = skey.shape[0]
-    iota = jnp.arange(npad, dtype=jnp.int32)
-    changed = jnp.concatenate([jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]])
-    head = jax.lax.cummax(jnp.where(changed, iota, 0))
-    rank = jnp.minimum(iota - head + 1, 65535)
-    fp_bits = 2 * K - 14
-    srow = jax.lax.shift_right_logical(skey, jnp.uint32(fp_bits))
-    rchanged = jnp.concatenate([jnp.ones((1,), jnp.bool_), srow[1:] != srow[:-1]])
-    segidx = jnp.cumsum(changed.astype(jnp.int32)) - 1
-    rowhead_seg = jax.lax.cummax(jnp.where(rchanged, segidx, 0))
-    cand = jnp.minimum(segidx - rowhead_seg, LANES)
-    return rank, cand
+    from nomalise_kmers_multi_large_tpu.ops.segscan import rank_cand_scan
+    return rank_cand_scan(skey, src, fp_bits=2 * K - 14, w=PAD - K + 1,
+                          n_reads=READS)
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -110,7 +101,7 @@ def main():
     t_full = timeit(run_full, bases, lengths, iters=10)
 
     for name, t in [("encode+mix", t_enc), ("sort2key", t_sort),
-                    ("rank/cand scans", t_rank), ("FULL step", t_full)]:
+                    ("segscan (pallas)", t_rank), ("FULL step", t_full)]:
         print(f"{name:16s} {t*1e3:8.2f} ms   {t/n_windows*1e9:6.2f} ns/window"
               f"   {READS/t/1e3:8.0f}k reads/s")
     resid = t_full - t_enc - t_sort - t_rank

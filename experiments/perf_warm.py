@@ -92,7 +92,7 @@ def main():
           f"{t_pre/n_windows*1e9:5.2f} ns/win")
 
     import itertools
-    for chunk, trows in itertools.product((2048, 4096, 8192), (128,)):
+    for chunk, trows in itertools.product((16384, 32768), (128,)):
         # warm the table first so steady state is all-match
         fp = jnp.zeros((ROWS, LANES), jnp.int32)
         counts = jnp.zeros((ROWS, LANES), jnp.int32)

@@ -9,9 +9,7 @@ per-read tallies for an entire batch of reads.
 Why not XLA scatter/gather: on TPU, XLA lowers both to a serialized per-element
 loop (~8-15 ns/element measured, experiments/microbench_primitives.py), which
 caps the whole engine at ~250k reads/s/chip. This kernel replaces them with
-dense MXU one-hot matmuls over bucket tiles at ~6 ns/element for the ENTIRE
-pipeline stage — and eliminates the unsort permutation by aggregating per-read
-high-window counts in-kernel.
+dense MXU one-hot matmuls over bucket tiles.
 
 Data structure ("bucket table"):
   - A k-mer code c (2k <= 30 bits) is placed at ``m = mix(c)`` (bijective, see
@@ -19,31 +17,41 @@ Data structure ("bucket table"):
     bits. Each row holds up to 128 distinct codes in its 128 lanes:
     ``fp[row, lane]`` stores fingerprint+1 (0 = empty), ``counts[row, lane]``
     the count. Bijectivity makes this EXACT: (row, fingerprint) recovers c.
-  - Batch windows are sorted by m (one stable 2-array sort — the only
+  - Batch windows are sorted by m (one stable 1-key sort — the only
     O(N log N) op), chunked, and each (tile of 128 rows, chunk) pair becomes a
     grid step in megablox style: scalar-prefetched step->tile/chunk maps drive
     the BlockSpec index_maps. Equal codes are adjacent, so an aggregated
     update per distinct code needs no atomics and no collision probing.
 
+LANE-MAJOR layout (v2): the stream blocks are DENSE (subs, 2048) int32 tiles
+and each 2048-element sub-slice keeps its elements on the LANE axis as (1, E)
+vectors. Element-per-sublane (E, 1) blocks — the v1 layout — cost 6.4 us/step
+in DMA alone (256 sparse (8,128) VMEM tiles per block, measured in
+experiments/perf_gridshape.py) vs 1.3 us/step dense. All one-hot matmuls are
+therefore TRANSPOSED: C[r, e] = onehot(row(e) == r) built by native
+sublane-broadcast of (1, E) against a dim-0 iota, gathers contract dim 0
+(C^T @ planes) and updates contract the lane dim (C @ M^T).
+
 Per-element semantics (exact, reference-sequential): the element's observed
 count is ``prior_table_count + rank`` where rank is its 1-based occurrence
-rank among equal codes in stream order (ops/streamrank.py trick); ``high``
-means observed >= depth. The kernel returns per-read sums of high windows.
+rank among equal codes in stream order (ops/segscan.py); ``high`` means
+observed >= depth. The kernel returns per-read sums of high windows.
 
-In-kernel algorithm per step (E = chunk elements, R = 128 rows, L = 128 lanes):
-  A[e,r]    = one-hot of the element's tile-local row (masked: valid, in-tile)
-  gather    = A @ [fp_hi|fp_lo|cnt_hi|cnt_lo] one (E,128)@(128,512) matmul
-  match     = (RowFP == fingerprint+1)   -> B_match one-hot lane, prior count
-  insert    = unmatched & rank==1; its lane = occ[row] + #earlier same-row
-              inserts THIS STEP, resolved with a (R,128) lane-prefix-scan over
-              the candidate-index one-hot (B_cand, XLA-precomputed) — no
-              per-element scan anywhere.
-  delta    += A^T @ B_upd         (counts update, flushed at tile switch)
-  fp       += A^T @ (B_ins * fp limbs)   (insert write, visible to next steps)
-  recsum   += (A_read * high)^T @ B_read (per-read high-window tallies)
-All matmuls are bf16 one-hots with f32 accumulation; every value is an integer
-below 2^24, so everything is exact. Counts are clamped to 65535 for the gather
-limbs which is lossless for the decision because depth <= 65535.
+In-kernel algorithm per step (E = 2048 lanes/sub-slice, R = 128 rows, L = 128
+lanes), per sub-slice i:
+  C[r,e]    = one-hot of the element's tile-local row (out-of-tile cols zero)
+  gather    = [fp_hi|fp_lo|cnt_hi|cnt_lo]^T-contraction: (R,512)x(R,E)->(512,E)
+  match     = (RowFP == fingerprint+1): (L,E) one-hot; ONE sublane reduction
+              recovers both is_match and prior (cnt + 2^17 trick)
+  delta    += C @ match^T     (counts update, flushed at tile switch)
+  recsum   += Ar @ (Br * high)^T   (per-read high-window tallies)
+Insert resolution (skipped entirely when the whole step matched): candidate j
+of row r (cand = segscan-precomputed distinct-code index within the row) gets
+lane occ[row] + #earlier candidates inserting this step, via one (R,L)
+lane-prefix scan; fp writes and the inserted codes' count deltas contract the
+same way. All matmuls are bf16 one-hots with f32 accumulation; every value is
+an integer below 2^24, so everything is exact. Counts are clamped to 65535 for
+the gather limbs which is lossless because depth <= 65535.
 """
 from __future__ import annotations
 
@@ -63,6 +71,7 @@ from nomalise_kmers_multi_large_tpu.ops.segscan import (
 
 LANES = 128          # slots (distinct codes) per bucket row
 TILE_ROWS = 128      # bucket rows per grid tile
+SUB = 2048           # elements per lane-major sub-slice
 _SENT = jnp.uint32(0xFFFFFFFF)
 
 
@@ -88,7 +97,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             # outputs
             fp_out_ref, cnt_out_ref, recsum_ref, stats_ref,
             # scratch
-            delta_ref):
+            delta_ref, ismatch_ref):
     s = pl.program_id(0)
     nsteps = pl.num_programs(0)
     tile = step_tile[s]
@@ -113,42 +122,42 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         delta_ref[:] = jnp.zeros_like(delta_ref)
 
     seed = seed_ref[0] != 0
-
-    E = chunk
+    subs = chunk // SUB
     R = tile_rows
     fmask = jnp.int32((1 << fp_bits) - 1)
-
-    p1 = p1_ref[:]                               # (E,1) int32: mixed (sentinel<0)
-    p2 = pltpu.bitcast(p2_ref[:], jnp.uint32)    # (E,1): rid<<16 | rank
-    cand = p3_ref[:]                             # (E,1) int32: in-row distinct idx
-
-    mixed = p1
-    grow = jax.lax.shift_right_logical(pltpu.bitcast(p1, jnp.uint32),
-                                       jnp.uint32(fp_bits)).astype(jnp.int32)
     # fold `active` into the tile id at SCALAR level: pad steps alias the
     # last real (tile, chunk) block, and tile_eff = -2 pushes every lrow
     # outside [0, R) so no vector op needs the scalar flag (mixing scalar
     # bools into vector masks trips Mosaic relayouts)
     tile_eff = jnp.where(active, tile, -2)
-    lrow = grow - tile_eff * R
-    fpv1 = jnp.bitwise_and(mixed, fmask) + 1     # fingerprint+1, >= 1
-    rank = jnp.bitwise_and(p2, jnp.uint32(0xFFFF)).astype(jnp.int32)
-    rid = jax.lax.shift_right_logical(p2, jnp.uint32(16)).astype(jnp.int32)
+    dmul = jnp.where(seed, 0.0, 1.0).astype(jnp.bfloat16)
 
-    # element is processed exactly once: in its own tile's step (sentinel /
-    # out-of-tile / pad-step elements all land outside [0, R))
-    valid = (mixed >= 0) & (lrow >= 0) & (lrow < R)
-
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (E, R), 1)
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (E, LANES), 1)
-
-    A = _onehot(lrow == r_iota)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, SUB), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0)
 
     mm = partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
-    mm_nt = lambda a, b: mm(a, b, (((1,), (0,)), ((), ())))   # (E,R)@(R,L)
-    mm_tn = lambda a, b: mm(a, b, (((0,), (0,)), ((), ())))   # (E,R)^T@(E,L)
+    # contract dim 0 of both: (R, P) x (R, E) -> (P, E)
+    mm_00 = lambda a, b: mm(a, b, (((0,), (0,)), ((), ())))
+    # contract dim 1 of both: (R, E) x (L, E) -> (R, L)
+    mm_11 = lambda a, b: mm(a, b, (((1,), (1,)), ((), ())))
 
-    # ---- gather: one wide matmul for fp and clamped-count limbs ----
+    def decode_sub(i):
+        """Per-sub-slice (1, SUB) vectors + the C one-hot."""
+        p1 = p1_ref[i:i + 1, :]                      # (1, SUB) int32 (sent<0)
+        p2 = pltpu.bitcast(p2_ref[i:i + 1, :], jnp.uint32)
+        cand = p3_ref[i:i + 1, :]
+        grow = jax.lax.shift_right_logical(
+            pltpu.bitcast(p1, jnp.uint32), jnp.uint32(fp_bits)
+        ).astype(jnp.int32)
+        lrow = grow - tile_eff * R
+        fpv1 = jnp.bitwise_and(p1, fmask) + 1        # fingerprint+1, >= 1
+        rank = jnp.bitwise_and(p2, jnp.uint32(0xFFFF)).astype(jnp.int32)
+        rid = jax.lax.shift_right_logical(p2, jnp.uint32(16)).astype(jnp.int32)
+        valid = (p1 >= 0) & (lrow >= 0) & (lrow < R)
+        C = _onehot(lrow == r_iota)                  # (R, SUB)
+        return C, fpv1, rank, rid, cand, valid
+
+    # ---- pass A: match path (the steady-state hot loop) ----
     fpt = fp_out_ref[:]
     cntt = jnp.minimum(cnt_out_ref[:], 65535)
     planes = jnp.concatenate(
@@ -159,37 +168,52 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             (cntt & 255).astype(jnp.bfloat16),
         ],
         axis=1,
-    )                                            # (R, 512)
-    rows = mm_nt(A, planes)                      # (E, 512) f32, exact ints
-    row_fp = rows[:, 0:LANES] * 256.0 + rows[:, LANES:2 * LANES]
-    row_cnt = rows[:, 2 * LANES:3 * LANES] * 256.0 + rows[:, 3 * LANES:]
+    )                                                # (R, 512)
 
-    fpv1_f = fpv1.astype(jnp.float32)            # (E,1)
-    match = (row_fp == fpv1_f).astype(jnp.float32)          # (E,L) one-hot
-    # single lane-reduction recovers BOTH is_match and prior: counts are
-    # clamped <= 65535 < 2^17, and prior + 2^17 < 2^24 stays exact in f32
-    mboth = jnp.sum(match * (row_cnt + 131072.0), axis=1, keepdims=True)
-    is_match = jnp.where(mboth >= 131072.0, 1.0, 0.0)       # (E,1) 0/1
-    prior = mboth - is_match * 131072.0
+    delta_acc = jnp.zeros((R, LANES), jnp.float32)
+    rec_acc = jnp.zeros((128, LANES), jnp.float32)
+    n_unmatched = jnp.zeros((), jnp.float32)
 
-    # ---- insert path: only taken when some element missed the table.
-    # In steady state (deep stream, most k-mers already present) whole
-    # (tile, chunk) steps are all-match and skip everything here. ----
-    any_un = jnp.sum(jnp.where((is_match == 0.0) & valid, 1.0, 0.0)) > 0.0
+    for i in range(subs):
+        C, fpv1, rank, rid, cand, valid = decode_sub(i)
+        G = mm_00(planes, C)                         # (512, SUB) f32 exact
+        row_fp = G[0:LANES] * 256.0 + G[LANES:2 * LANES]        # (L, SUB)
+        row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
+        fpv1_f = fpv1.astype(jnp.float32)            # (1, SUB)
+        match = (row_fp == fpv1_f).astype(jnp.float32)          # (L, SUB)
+        # single sublane-reduction recovers BOTH is_match and prior: counts
+        # are clamped <= 65535 < 2^17, and prior + 2^17 < 2^24 is f32-exact
+        mboth = jnp.sum(match * (row_cnt + 131072.0), axis=0, keepdims=True)
+        is_match = jnp.where(mboth >= 131072.0, 1.0, 0.0)       # (1, SUB)
+        prior = mboth - is_match * 131072.0
+        ismatch_ref[i:i + 1, :] = is_match
+        n_unmatched += jnp.sum(
+            jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
+        delta_acc += mm_11(C * dmul, match.astype(jnp.bfloat16))
+        observed = prior + rank.astype(jnp.float32)
+        high = _onehot((observed >= float(depth)) & valid)      # (1, SUB)
+        rrow = jax.lax.shift_right_logical(rid, 7)
+        rcol = jnp.bitwise_and(rid, 127)
+        Ar = _onehot(rrow == l_iota)                 # (128, SUB) read-row
+        Brh = _onehot(rcol == l_iota) * high         # (128, SUB) read-col
+        rec_acc += mm_11(Ar, Brh)
 
+    recsum_ref[:] += rec_acc
+
+    # ---- pass B: insert resolution; skipped when the whole step matched.
+    # In steady state (deep stream, most k-mers already present) this is the
+    # common case. ----
     def _insert_path(_):
-        # lane resolution with NO per-element scan: candidate j of row r
-        # (cand = XLA-precomputed distinct-code index within the row) gets
-        # lane occ[r] + (# inserting candidates j' < j), via one (R,L)
-        # lane-prefix scan + one matmul lookup.
+        # candidate j of row r gets lane occ[r] + (# inserting candidates
+        # j' < j), via one (R,L) lane-prefix scan + transposed lookups.
         occ = jnp.sum(jnp.where(fpt != 0, 1.0, 0.0), axis=1, keepdims=True)
-        insert = (is_match == 0.0) & (rank == 1) & valid & (cand < LANES)
-        ins_f = _onehot(insert)
-        # cand == l_iota already implies cand < LANES; validity is enforced
-        # through ins_f / unmatched wherever B_cand feeds a write
-        B_cand = _onehot(cand == l_iota)
-        # cnew[r, j] = 1 iff candidate j of row r inserts in this step
-        cnew = mm_tn(A * ins_f, B_cand)          # (R, L) f32 0/1
+        cnew = jnp.zeros((R, LANES), jnp.float32)
+        for i in range(subs):
+            C, fpv1, rank, rid, cand, valid = decode_sub(i)
+            is_match = ismatch_ref[i:i + 1, :]
+            insert = (is_match == 0.0) & (rank == 1) & valid & (cand < LANES)
+            B_cand = _onehot(cand == l_iota)         # (L, SUB)
+            cnew += mm_11(C * _onehot(insert), B_cand)
         # exclusive prefix along lanes via Hillis-Steele log-doubling
         tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         inc = cnew
@@ -198,51 +222,47 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             rolled = pltpu.roll(inc, shift, 1)   # rolled[:, j] = inc[:, j-shift]
             inc = inc + jnp.where(tl_iota >= shift, rolled, 0.0)
             shift *= 2
-        M = occ + (inc - cnew)                   # (R, L): lane for candidate j
-        lane_new = jnp.sum(
-            B_cand.astype(jnp.float32) * mm_nt(A, M.astype(jnp.bfloat16)),
-            axis=1, keepdims=True,
-        )                                        # (E,1)
-        fits = lane_new < float(LANES)
-        unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
-        B_new = _onehot((lane_new == l_iota.astype(jnp.float32)) & unmatched)
-        B_ins = B_new * ins_f                    # exactly one writer per (r,l)
-        f_hi = (fpv1 >> 8).astype(jnp.bfloat16)  # <= 256: exact in bf16
-        f_lo = (fpv1 & 255).astype(jnp.bfloat16)
-        wrote = mm_tn(A, B_ins * f_hi) * 256.0 + mm_tn(A, B_ins * f_lo)
-        dropped = jnp.sum(
-            jnp.where((is_match == 0.0) & valid & (rank == 1)
-                      & ((cand >= LANES) | jnp.logical_not(fits)), 1.0, 0.0))
-        return B_new, wrote, dropped
+        M = (occ + (inc - cnew)).astype(jnp.bfloat16)   # (R, L): lane of cand j
+        wrote = jnp.zeros((R, LANES), jnp.float32)
+        delta_ins = jnp.zeros((R, LANES), jnp.float32)
+        dropped = jnp.zeros((), jnp.float32)
+        for i in range(subs):
+            C, fpv1, rank, rid, cand, valid = decode_sub(i)
+            is_match = ismatch_ref[i:i + 1, :]
+            B_cand = _onehot(cand == l_iota)
+            ML = mm_00(M, C)                         # (L, SUB): M[row(e), :]
+            lane_new = jnp.sum(ML * B_cand.astype(jnp.float32),
+                               axis=0, keepdims=True)           # (1, SUB)
+            fits = lane_new < float(LANES)
+            unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
+            B_new = _onehot(
+                (lane_new == l_iota.astype(jnp.float32)) & unmatched)
+            insert = (is_match == 0.0) & (rank == 1) & valid & (cand < LANES)
+            ins_f = _onehot(insert)
+            B_ins = B_new * ins_f                    # one writer per (r, l)
+            f_hi = (fpv1 >> 8).astype(jnp.bfloat16)  # <= 256: exact in bf16
+            f_lo = (fpv1 & 255).astype(jnp.bfloat16)
+            wrote += mm_11(C, B_ins * f_hi) * 256.0 + mm_11(C, B_ins * f_lo)
+            delta_ins += mm_11(C * dmul, B_new)
+            dropped += jnp.sum(
+                jnp.where((is_match == 0.0) & valid & (rank == 1)
+                          & ((cand >= LANES) | jnp.logical_not(fits)),
+                          1.0, 0.0))
+        return wrote, delta_ins, dropped
 
     def _no_insert(_):
-        return (jnp.zeros((E, LANES), jnp.bfloat16),
-                jnp.zeros((R, LANES), jnp.float32),
-                jnp.zeros((), jnp.float32))
+        z = jnp.zeros((R, LANES), jnp.float32)
+        return z, z, jnp.zeros((), jnp.float32)
 
-    B_new, wrote, dropped = jax.lax.cond(any_un, _insert_path, _no_insert, None)
-    B_upd = match.astype(jnp.bfloat16) + B_new   # disjoint one-hots
+    wrote, delta_ins, dropped = jax.lax.cond(
+        n_unmatched > 0.0, _insert_path, _no_insert, None)
 
-    # ---- counts delta (skipped while seeding: seed inserts carry count 0,
-    # reference store_kmer do_init path :962-963) ----
-    dmul = jnp.where(seed, 0.0, 1.0).astype(jnp.bfloat16)
-    delta_ref[:] += mm_tn(A * dmul, B_upd)
+    # ---- counts delta (seed inserts carry count 0: reference store_kmer
+    # do_init path :962-963 — dmul zeroes both accs while seeding) ----
+    delta_ref[:] += delta_acc + delta_ins
     fp_out_ref[:] = fp_out_ref[:] + wrote.astype(jnp.int32)
 
-    # ---- classification + per-read aggregation ----
-    observed = prior + jnp.minimum(rank, 65535).astype(jnp.float32)
-    # validity folded into the (E,1) high flag so Ar/Br stay pure one-hots
-    high = _onehot((observed >= float(depth)) & valid)
-    rrow = jax.lax.shift_right_logical(rid, 7)
-    rcol = jnp.bitwise_and(rid, 127)
-    rr_iota = jax.lax.broadcasted_iota(jnp.int32, (E, 128), 1)
-    Ar = _onehot(rrow == rr_iota)
-    Br = _onehot(rcol == l_iota)
-    recsum_ref[:] += jax.lax.dot_general(
-        Ar * high, Br, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    # ---- stats: dropped inserts (bucket overflow or candidate index >= 128) ----
+    # ---- stats: dropped inserts (bucket overflow or candidate >= 128) ----
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
         + 128 * jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     stats_ref[:] += jnp.where(e_iota == 0, dropped, 0.0)
@@ -256,7 +276,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
 def bucket_batch(
     fp, counts, mixed_flat, valid_flat, *,
     k: int, rows: int, depth: int, windows_per_read: int,
-    chunk: int = 2048, tile_rows: int = TILE_ROWS, seed: bool = False,
+    chunk: int = 16384, tile_rows: int = TILE_ROWS, seed: bool = False,
     interpret: bool = False,
 ):
     """Run one batch through the bucket table.
@@ -269,6 +289,7 @@ def bucket_batch(
       rows: bucket rows (power of two).
       depth: high-count threshold (reference depth_per_cpu), <= 65535.
       windows_per_read: static W; read id of flat index i is i // W.
+      chunk: elements per grid step (multiple of SUB = 2048).
       seed: insert-without-counting mode (reference seed pass semantics).
 
     Returns BucketBatchOut. high_per_read covers n_reads = N // W reads.
@@ -288,10 +309,14 @@ def bucket_batch(
     assert tile_rows == 1 << tb and 8 <= tile_rows <= rows
     n_tiles = rows // tile_rows
     assert n_tiles >= 1
+    subs = chunk // SUB
+    assert chunk == subs * SUB and subs % 8 == 0, (
+        f"chunk must be a multiple of {8 * SUB} (block sublane dim)")
 
     # pad the stream so both the scan kernel (32768-element blocks) and the
     # bucket grid (chunk-element blocks) divide it evenly
     quantum = max(chunk, _SCAN_BLOCK)
+    assert quantum % chunk == 0 and quantum % _SCAN_BLOCK == 0
     npad = -(-n // quantum) * quantum
     pad = npad - n
     n_chunks = npad // chunk
@@ -312,9 +337,10 @@ def bucket_batch(
     p2f, p3f = rank_cand_scan(skey, src, fp_bits=fp_bits, w=w,
                               n_reads=n_reads, interpret=interpret)
 
-    p1 = jax.lax.bitcast_convert_type(skey, jnp.int32)[:, None]
-    p2 = p2f[:, None]
-    p3 = p3f[:, None]
+    # lane-major dense stream blocks: (npad/SUB, SUB) int32
+    p1 = jax.lax.bitcast_convert_type(skey, jnp.int32).reshape(-1, SUB)
+    p2 = p2f.reshape(-1, SUB)
+    p3 = p3f.reshape(-1, SUB)
 
     # ---- step -> (tile, chunk) maps ----
     elem_tile = jnp.minimum(
@@ -354,11 +380,11 @@ def bucket_batch(
         num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((chunk, 1), lambda s, st, sc, sa, sf: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sf: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda s, st, sc, sa, sf: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sf: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda s, st, sc, sa, sf: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sf: (sc[s], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
                          memory_space=pltpu.VMEM),
@@ -375,7 +401,10 @@ def bucket_batch(
             pl.BlockSpec((8, 128), lambda s, st, sc, sa, sf: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((tile_rows, LANES), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((subs, SUB), jnp.float32),
+        ],
     )
 
     fp2, counts2, recsum, stats = pl.pallas_call(

@@ -84,7 +84,7 @@ class BucketTable(CountTable):
     def process_batch(
         self, state: TableState, lo: jax.Array, valid: jax.Array,
         *, depth: int, windows_per_read: int, seed: bool = False,
-        chunk: int = 2048,
+        chunk: int = 16384,
     ) -> tuple[TableState, BucketBatchOut]:
         """One whole-batch upsert+classify. `lo` uint32 [R, W] code planes in
         stream order, `valid` bool [R, W]. Returns per-read high counts."""
