@@ -99,6 +99,17 @@ class BatchStep:
             valid = valid[:, :: self.stride]
         return hi, lo, valid
 
+    def _encode_mixed(self, bases, lengths):
+        """Fused encode+mix+key (bucket path): one Pallas pass produces
+        sort-ready keys (invalid windows pre-set to the sentinel) plus the
+        validity plane for per-read totals (ops/encode_kernel.py)."""
+        from nomalise_kmers_multi_large_tpu.ops.encode_kernel import encode_keys
+
+        return encode_keys(
+            bases, lengths, self.k, self.canonical,
+            interpret=getattr(self.table, "interpret", False),
+        )
+
     def _relaxed_ranks(self, hi, lo, valid, reads_per_record: int):
         """Pair-local ranks without a global sort.
 
@@ -135,17 +146,32 @@ class BatchStep:
         Returns: (state', keep[B] bool, StepStats)
         """
         R = bases.shape[0]
-        hi, lo, valid = self._encode(bases, lengths)
-        W = hi.shape[1]
-        n = R * W
 
         from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
         from nomalise_kmers_multi_large_tpu.table.direct import DirectTable
 
+        if isinstance(self.table, BucketTable) and self.stride == 1:
+            # fully fused Pallas path: encode+mix in one VMEM pass
+            # (ops/encode_kernel.py), then upsert + classify + per-read
+            # aggregation in the bucket kernel; semantics are EXACT
+            # (reference-sequential) for any batch size regardless of
+            # self.mode (ops/bucket_kernel.py)
+            key, valid = self._encode_mixed(bases, lengths)
+            state, out = self.table.process_batch_mixed(
+                state, key, None, depth=self.depth,
+                windows_per_read=key.shape[1], keyed=True,
+            )
+            high_per_read = out.high_per_read[:R]
+            total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
+            return self._classify(
+                state, high_per_read, total_per_read, rec_valid
+            )
+
+        hi, lo, valid = self._encode(bases, lengths)
+        W = hi.shape[1]
+        n = R * W
+
         if isinstance(self.table, BucketTable):
-            # fused Pallas path: upsert + classify + per-read aggregation in
-            # one kernel; semantics are EXACT (reference-sequential) for any
-            # batch size regardless of self.mode (ops/bucket_kernel.py)
             state, out = self.table.process_batch(
                 state, lo, valid, depth=self.depth, windows_per_read=W
             )
@@ -212,10 +238,19 @@ class BatchStep:
         :1322-1373). The host pre-filters records to the reference's strictly-
         greater length rule (len > k, :1347) by zeroing their lengths."""
         R = bases.shape[0]
-        hi, lo, valid = self._encode(bases, lengths)
-        n = R * hi.shape[1]
 
         from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
+
+        if isinstance(self.table, BucketTable) and self.stride == 1:
+            key, _valid = self._encode_mixed(bases, lengths)
+            state, _ = self.table.process_batch_mixed(
+                state, key, None, depth=self.depth,
+                windows_per_read=key.shape[1], seed=True, keyed=True
+            )
+            return state
+
+        hi, lo, valid = self._encode(bases, lengths)
+        n = R * hi.shape[1]
 
         if isinstance(self.table, BucketTable):
             state, _ = self.table.process_batch(

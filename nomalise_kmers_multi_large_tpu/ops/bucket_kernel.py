@@ -158,17 +158,25 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         return C, fpv1, rank, rid, cand, valid
 
     # ---- pass A: match path (the steady-state hot loop) ----
+    # Counts are clamped for the gather limbs: lossless for the decision
+    # because only (prior + rank >= depth) matters. When depth fits one
+    # 8-bit limb, the count plane collapses to a single limb (3 planes
+    # instead of 4 — 25% less gather MXU work).
+    one_limb = depth <= 255
+    cnt_clamp = 255 if one_limb else 65535
+    offset = 512.0 if one_limb else 131072.0
     fpt = fp_out_ref[:]
-    cntt = jnp.minimum(cnt_out_ref[:], 65535)
-    planes = jnp.concatenate(
-        [
-            (fpt >> 8).astype(jnp.bfloat16),
-            (fpt & 255).astype(jnp.bfloat16),
-            (cntt >> 8).astype(jnp.bfloat16),
-            (cntt & 255).astype(jnp.bfloat16),
-        ],
-        axis=1,
-    )                                                # (R, 512)
+    cntt = jnp.minimum(cnt_out_ref[:], cnt_clamp)
+    limbs = [
+        (fpt >> 8).astype(jnp.bfloat16),
+        (fpt & 255).astype(jnp.bfloat16),
+    ]
+    if one_limb:
+        limbs.append(cntt.astype(jnp.bfloat16))
+    else:
+        limbs.append((cntt >> 8).astype(jnp.bfloat16))
+        limbs.append((cntt & 255).astype(jnp.bfloat16))
+    planes = jnp.concatenate(limbs, axis=1)          # (R, 384|512)
 
     delta_acc = jnp.zeros((R, LANES), jnp.float32)
     rec_acc = jnp.zeros((128, LANES), jnp.float32)
@@ -176,16 +184,19 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
 
     for i in range(subs):
         C, fpv1, rank, rid, cand, valid = decode_sub(i)
-        G = mm_00(planes, C)                         # (512, SUB) f32 exact
+        G = mm_00(planes, C)                         # (384|512, SUB) f32 exact
         row_fp = G[0:LANES] * 256.0 + G[LANES:2 * LANES]        # (L, SUB)
-        row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
+        if one_limb:
+            row_cnt = G[2 * LANES:3 * LANES]
+        else:
+            row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
         fpv1_f = fpv1.astype(jnp.float32)            # (1, SUB)
         match = (row_fp == fpv1_f).astype(jnp.float32)          # (L, SUB)
         # single sublane-reduction recovers BOTH is_match and prior: counts
-        # are clamped <= 65535 < 2^17, and prior + 2^17 < 2^24 is f32-exact
-        mboth = jnp.sum(match * (row_cnt + 131072.0), axis=0, keepdims=True)
-        is_match = jnp.where(mboth >= 131072.0, 1.0, 0.0)       # (1, SUB)
-        prior = mboth - is_match * 131072.0
+        # are clamped below `offset`, and prior + offset < 2^24 is f32-exact
+        mboth = jnp.sum(match * (row_cnt + offset), axis=0, keepdims=True)
+        is_match = jnp.where(mboth >= offset, 1.0, 0.0)         # (1, SUB)
+        prior = mboth - is_match * offset
         ismatch_ref[i:i + 1, :] = is_match
         n_unmatched += jnp.sum(
             jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
@@ -277,7 +288,7 @@ def bucket_batch(
     fp, counts, mixed_flat, valid_flat, *,
     k: int, rows: int, depth: int, windows_per_read: int,
     chunk: int = 16384, tile_rows: int = TILE_ROWS, seed: bool = False,
-    interpret: bool = False,
+    keyed: bool = False, interpret: bool = False,
 ):
     """Run one batch through the bucket table.
 
@@ -291,6 +302,8 @@ def bucket_batch(
       windows_per_read: static W; read id of flat index i is i // W.
       chunk: elements per grid step (multiple of SUB = 2048).
       seed: insert-without-counting mode (reference seed pass semantics).
+      keyed: mixed_flat already carries the sentinel for invalid windows
+        (ops/encode_kernel.py output); valid_flat is ignored and may be None.
 
     Returns BucketBatchOut. high_per_read covers n_reads = N // W reads.
     """
@@ -322,7 +335,7 @@ def bucket_batch(
     n_chunks = npad // chunk
     n_steps = n_chunks + n_tiles  # static bound: chunks + tile crossings
 
-    key = jnp.where(valid_flat, mixed_flat, _SENT)
+    key = mixed_flat if keyed else jnp.where(valid_flat, mixed_flat, _SENT)
     if pad:
         key = jnp.concatenate([key, jnp.full((pad,), _SENT, jnp.uint32)])
     pos = jnp.arange(npad, dtype=jnp.int32)

@@ -1,0 +1,126 @@
+"""Fused Pallas encode: bases -> sort-ready mixed window keys, one pass.
+
+TPU-native replacement for the reference's per-window strncpy+encode loop
+(``sequence_to_hash`` normalise_kmers_multi_large.c:1459-1499, O(k) per
+window) for the bucket-table path (k <= 15, single 30-bit code plane). The
+XLA codec (ops/codec.py) builds the same windows from k shifted slices but
+materializes intermediates through HBM (~2 ms/batch measured); this kernel
+keeps everything in VMEM: k cyclic lane-rolls OR'd into the code plane,
+optional canonical min(code, revcomp) via a second complemented accumulation,
+the ops/mix.py bijection inlined, and the validity mask folded into the key
+(invalid windows become the sort sentinel 0xFFFFFFFF) — so the output feeds
+jax.lax.sort directly with no further elementwise passes.
+
+Validity (reference semantics): window w of a read of length len is countable
+iff ``w <= len - k`` (nk.c:1464) and its code != 0 (the poly-A drop,
+:1483-1484; by bijectivity, code == 0 <=> mixed == mix32(0)). Read lengths
+ride along in the last two pad bytes of each row (values 0..1023 — the
+reference's MAX_LINE_LENGTH bound, nk.c:139), so the kernel needs no separate
+per-read operand.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nomalise_kmers_multi_large_tpu.ops.mix import _C1, _C2, _shifts, mix32_np
+
+BLOCK_READS = 512
+_SENT = -1  # int32 bit pattern of the sort sentinel 0xFFFFFFFF
+
+
+def _mix_inline(x, bits: int):
+    """ops/mix.py mix32 on an int32 register array (values < 2^bits)."""
+    mask = jnp.int32((1 << bits) - 1)
+    s1, s2, s3 = _shifts(bits)
+    u = pltpu.bitcast(x, jnp.uint32)
+    u = (u ^ (u >> jnp.uint32(s1)))
+    u = pltpu.bitcast(pltpu.bitcast(u, jnp.int32) & mask, jnp.uint32)
+    u = u * jnp.uint32(_C1 | 1)
+    u = pltpu.bitcast(pltpu.bitcast(u, jnp.int32) & mask, jnp.uint32)
+    u = (u ^ (u >> jnp.uint32(s2)))
+    u = pltpu.bitcast(pltpu.bitcast(u, jnp.int32) & mask, jnp.uint32)
+    u = u * jnp.uint32(_C2 | 1)
+    u = pltpu.bitcast(pltpu.bitcast(u, jnp.int32) & mask, jnp.uint32)
+    u = (u ^ (u >> jnp.uint32(s3)))
+    return pltpu.bitcast(u, jnp.int32) & mask
+
+
+def _kernel(k: int, canonical: bool, w: int, lp: int, mix0: int,
+            b_ref, key_ref, valid_ref):
+    b = b_ref[:].astype(jnp.int32)                   # (B, Lp)
+    fwd = jnp.zeros_like(b)
+    for j in range(k):
+        col = b if j == 0 else pltpu.roll(b, lp - j, 1)  # col[:, i] = b[:, i+j]
+        fwd = fwd | (col << (2 * (k - 1 - j)))
+    code = fwd
+    if canonical:
+        rc = jnp.zeros_like(b)
+        for j in range(k):
+            col = b if j == 0 else pltpu.roll(b, lp - j, 1)
+            rc = rc | ((col ^ 3) << (2 * j))
+        code = jnp.minimum(fwd, rc)                  # < 2^30: int32-safe
+    mixed = _mix_inline(code, 2 * k)
+    # read length rides in the last two pad bytes (hi, lo)
+    length = b[:, lp - 2:lp - 1] * 256 + b[:, lp - 1:lp]     # (B, 1)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    valid = (w_iota <= (length - k)) & (mixed != mix0)
+    key_ref[:] = jnp.where(valid, mixed, _SENT)[:, :w]
+    valid_ref[:] = jnp.where(valid, 1, 0)[:, :w]
+
+
+def encode_keys(bases: jax.Array, lengths: jax.Array, k: int, canonical: bool,
+                interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Sort keys + validity for all k-windows of every read.
+
+    Args:
+      bases: [R, L] uint8 2-bit base codes (0..3; padding bytes any 0..3).
+      lengths: [R] int32 read lengths (0 marks an invalid read), <= 1023.
+      k: k-mer size, k <= 15 (single 30-bit plane).
+
+    Returns:
+      key: uint32 [R, W] bijectively-mixed window codes with INVALID windows
+        already set to the sort sentinel 0xFFFFFFFF; W = L - k + 1.
+      valid: int32 [R, W] 1/0 window validity (for per-read totals).
+    """
+    assert k <= 15
+    R, L = bases.shape
+    W = L - k + 1
+    lp = -(-(L + 2) // 128) * 128
+    lens = jnp.clip(lengths.astype(jnp.int32), 0, 1023)
+    tail = jnp.zeros((R, lp - L - 2), jnp.uint8) if lp - L - 2 else None
+    cols = [bases]
+    if tail is not None:
+        cols.append(tail)
+    cols.append((lens[:, None] >> 8).astype(jnp.uint8))
+    cols.append((lens[:, None] & 255).astype(jnp.uint8))
+    padded = jnp.concatenate(cols, axis=1)
+    mix0 = int(mix32_np(np.zeros(1, np.uint32), 2 * k)[0])
+    br = min(BLOCK_READS, max(8, R))
+    rpad = -(-R // br) * br
+    if rpad != R:
+        # pad rows are all-zero: length 0 => every window invalid
+        padded = jnp.pad(padded, ((0, rpad - R), (0, 0)))
+    key, valid = pl.pallas_call(
+        partial(_kernel, k, canonical, W, lp, mix0),
+        grid=(rpad // br,),
+        in_specs=[pl.BlockSpec((br, lp), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((br, W), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, W), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rpad, W), jnp.int32),
+            jax.ShapeDtypeStruct((rpad, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(padded)
+    if rpad != R:
+        key, valid = key[:R], valid[:R]
+    return jax.lax.bitcast_convert_type(key, jnp.uint32), valid

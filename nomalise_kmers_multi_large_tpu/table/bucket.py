@@ -90,11 +90,26 @@ class BucketTable(CountTable):
         stream order, `valid` bool [R, W]. Returns per-read high counts."""
         n = lo.shape[0] * lo.shape[1]
         mixed = mix32(lo.reshape(n), 2 * self.k)
+        return self.process_batch_mixed(
+            state, mixed.reshape(lo.shape), valid, depth=depth,
+            windows_per_read=windows_per_read, seed=seed, chunk=chunk)
+
+    def process_batch_mixed(
+        self, state: TableState, mixed: jax.Array, valid,
+        *, depth: int, windows_per_read: int, seed: bool = False,
+        chunk: int = 16384, keyed: bool = False,
+    ) -> tuple[TableState, BucketBatchOut]:
+        """Same as process_batch but takes pre-mixed codes (uint32 [R, W]),
+        e.g. from the fused ops/encode_kernel.py pass. With keyed=True the
+        codes already carry the invalid-window sentinel and valid is unused
+        (may be None)."""
+        n = mixed.shape[0] * mixed.shape[1]
         out = bucket_batch(
-            state.keys, state.counts, mixed, valid.reshape(n),
+            state.keys, state.counts, mixed.reshape(n),
+            None if keyed else valid.reshape(n),
             k=self.k, rows=self.rows, depth=depth,
             windows_per_read=windows_per_read, chunk=chunk,
-            tile_rows=self.tile_rows, seed=seed,
+            tile_rows=self.tile_rows, seed=seed, keyed=keyed,
             interpret=self.interpret,
         )
         new_state = TableState(
