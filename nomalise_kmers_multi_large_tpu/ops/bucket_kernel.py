@@ -135,6 +135,23 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, SUB), 0)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0)
 
+    def sub_out_of_tile(i):
+        """Scalar predicate: sub-slice i has NO element in this step's tile.
+
+        Rows ascend within a chunk (the stream is key-sorted), so peeking at
+        the first/last element decides the whole sub-slice. Tile-crossing
+        steps re-walk a whole chunk for the next tile; without this guard
+        every crossing costs a full chunk of MXU work (~50% of the kernel at
+        chunk ~= tile-run size, measured in experiments/perf_pipeline_ablate
+        .py). Sentinel pads (key 0xFFFFFFFF) get grow = 65535 via the logical
+        shift and are skipped too; inactive pad steps (tile_eff = -2) skip
+        every sub-slice.
+        """
+        first_g = jax.lax.shift_right_logical(p1_ref[i, 0], fp_bits)
+        last_g = jax.lax.shift_right_logical(p1_ref[i, SUB - 1], fp_bits)
+        return jnp.logical_or(last_g < tile_eff * R,
+                              first_g >= (tile_eff + 1) * R)
+
     mm = partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
     # contract dim 0 of both: (R, P) x (R, E) -> (P, E)
     mm_00 = lambda a, b: mm(a, b, (((0,), (0,)), ((), ())))
@@ -183,31 +200,38 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
     n_unmatched = jnp.zeros((), jnp.float32)
 
     for i in range(subs):
-        C, fpv1, rank, rid, cand, valid = decode_sub(i)
-        G = mm_00(planes, C)                         # (384|512, SUB) f32 exact
-        row_fp = G[0:LANES] * 256.0 + G[LANES:2 * LANES]        # (L, SUB)
-        if one_limb:
-            row_cnt = G[2 * LANES:3 * LANES]
-        else:
-            row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
-        fpv1_f = fpv1.astype(jnp.float32)            # (1, SUB)
-        match = (row_fp == fpv1_f).astype(jnp.float32)          # (L, SUB)
-        # single sublane-reduction recovers BOTH is_match and prior: counts
-        # are clamped below `offset`, and prior + offset < 2^24 is f32-exact
-        mboth = jnp.sum(match * (row_cnt + offset), axis=0, keepdims=True)
-        is_match = jnp.where(mboth >= offset, 1.0, 0.0)         # (1, SUB)
-        prior = mboth - is_match * offset
-        ismatch_ref[i:i + 1, :] = is_match
-        n_unmatched += jnp.sum(
-            jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
-        delta_acc += mm_11(C * dmul, match.astype(jnp.bfloat16))
-        observed = prior + rank.astype(jnp.float32)
-        high = _onehot((observed >= float(depth)) & valid)      # (1, SUB)
-        rrow = jax.lax.shift_right_logical(rid, 7)
-        rcol = jnp.bitwise_and(rid, 127)
-        Ar = _onehot(rrow == l_iota)                 # (128, SUB) read-row
-        Brh = _onehot(rcol == l_iota) * high         # (128, SUB) read-col
-        rec_acc += mm_11(Ar, Brh)
+        def _do_a(args, i=i):
+            delta_acc, rec_acc, n_unmatched = args
+            C, fpv1, rank, rid, cand, valid = decode_sub(i)
+            G = mm_00(planes, C)                     # (384|512, SUB) f32 exact
+            row_fp = G[0:LANES] * 256.0 + G[LANES:2 * LANES]    # (L, SUB)
+            if one_limb:
+                row_cnt = G[2 * LANES:3 * LANES]
+            else:
+                row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
+            fpv1_f = fpv1.astype(jnp.float32)        # (1, SUB)
+            match = (row_fp == fpv1_f).astype(jnp.float32)      # (L, SUB)
+            # single sublane-reduction recovers BOTH is_match and prior:
+            # counts are clamped below `offset`, and prior + offset < 2^24
+            # is f32-exact
+            mboth = jnp.sum(match * (row_cnt + offset), axis=0, keepdims=True)
+            is_match = jnp.where(mboth >= offset, 1.0, 0.0)     # (1, SUB)
+            prior = mboth - is_match * offset
+            ismatch_ref[i:i + 1, :] = is_match
+            n_un = n_unmatched + jnp.sum(
+                jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
+            d_acc = delta_acc + mm_11(C * dmul, match.astype(jnp.bfloat16))
+            observed = prior + rank.astype(jnp.float32)
+            high = _onehot((observed >= float(depth)) & valid)  # (1, SUB)
+            rrow = jax.lax.shift_right_logical(rid, 7)
+            rcol = jnp.bitwise_and(rid, 127)
+            Ar = _onehot(rrow == l_iota)             # (128, SUB) read-row
+            Brh = _onehot(rcol == l_iota) * high     # (128, SUB) read-col
+            return d_acc, rec_acc + mm_11(Ar, Brh), n_un
+
+        delta_acc, rec_acc, n_unmatched = jax.lax.cond(
+            sub_out_of_tile(i), lambda args: args, _do_a,
+            (delta_acc, rec_acc, n_unmatched))
 
     recsum_ref[:] += rec_acc
 
@@ -220,11 +244,16 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         occ = jnp.sum(jnp.where(fpt != 0, 1.0, 0.0), axis=1, keepdims=True)
         cnew = jnp.zeros((R, LANES), jnp.float32)
         for i in range(subs):
-            C, fpv1, rank, rid, cand, valid = decode_sub(i)
-            is_match = ismatch_ref[i:i + 1, :]
-            insert = (is_match == 0.0) & (rank == 1) & valid & (cand < LANES)
-            B_cand = _onehot(cand == l_iota)         # (L, SUB)
-            cnew += mm_11(C * _onehot(insert), B_cand)
+            def _do_b1(cnew, i=i):
+                C, fpv1, rank, rid, cand, valid = decode_sub(i)
+                is_match = ismatch_ref[i:i + 1, :]
+                insert = ((is_match == 0.0) & (rank == 1) & valid
+                          & (cand < LANES))
+                B_cand = _onehot(cand == l_iota)     # (L, SUB)
+                return cnew + mm_11(C * _onehot(insert), B_cand)
+
+            cnew = jax.lax.cond(
+                sub_out_of_tile(i), lambda cnew: cnew, _do_b1, cnew)
         # exclusive prefix along lanes via Hillis-Steele log-doubling
         tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         inc = cnew
@@ -238,27 +267,36 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         delta_ins = jnp.zeros((R, LANES), jnp.float32)
         dropped = jnp.zeros((), jnp.float32)
         for i in range(subs):
-            C, fpv1, rank, rid, cand, valid = decode_sub(i)
-            is_match = ismatch_ref[i:i + 1, :]
-            B_cand = _onehot(cand == l_iota)
-            ML = mm_00(M, C)                         # (L, SUB): M[row(e), :]
-            lane_new = jnp.sum(ML * B_cand.astype(jnp.float32),
-                               axis=0, keepdims=True)           # (1, SUB)
-            fits = lane_new < float(LANES)
-            unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
-            B_new = _onehot(
-                (lane_new == l_iota.astype(jnp.float32)) & unmatched)
-            insert = (is_match == 0.0) & (rank == 1) & valid & (cand < LANES)
-            ins_f = _onehot(insert)
-            B_ins = B_new * ins_f                    # one writer per (r, l)
-            f_hi = (fpv1 >> 8).astype(jnp.bfloat16)  # <= 256: exact in bf16
-            f_lo = (fpv1 & 255).astype(jnp.bfloat16)
-            wrote += mm_11(C, B_ins * f_hi) * 256.0 + mm_11(C, B_ins * f_lo)
-            delta_ins += mm_11(C * dmul, B_new)
-            dropped += jnp.sum(
-                jnp.where((is_match == 0.0) & valid & (rank == 1)
-                          & ((cand >= LANES) | jnp.logical_not(fits)),
-                          1.0, 0.0))
+            def _do_b2(args, i=i):
+                wrote, delta_ins, dropped = args
+                C, fpv1, rank, rid, cand, valid = decode_sub(i)
+                is_match = ismatch_ref[i:i + 1, :]
+                B_cand = _onehot(cand == l_iota)
+                ML = mm_00(M, C)                     # (L, SUB): M[row(e), :]
+                lane_new = jnp.sum(ML * B_cand.astype(jnp.float32),
+                                   axis=0, keepdims=True)       # (1, SUB)
+                fits = lane_new < float(LANES)
+                unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
+                B_new = _onehot(
+                    (lane_new == l_iota.astype(jnp.float32)) & unmatched)
+                insert = ((is_match == 0.0) & (rank == 1) & valid
+                          & (cand < LANES))
+                ins_f = _onehot(insert)
+                B_ins = B_new * ins_f                # one writer per (r, l)
+                f_hi = (fpv1 >> 8).astype(jnp.bfloat16)  # <= 256: bf16-exact
+                f_lo = (fpv1 & 255).astype(jnp.bfloat16)
+                w2 = wrote + (mm_11(C, B_ins * f_hi) * 256.0
+                              + mm_11(C, B_ins * f_lo))
+                d2 = delta_ins + mm_11(C * dmul, B_new)
+                dr2 = dropped + jnp.sum(
+                    jnp.where((is_match == 0.0) & valid & (rank == 1)
+                              & ((cand >= LANES) | jnp.logical_not(fits)),
+                              1.0, 0.0))
+                return w2, d2, dr2
+
+            wrote, delta_ins, dropped = jax.lax.cond(
+                sub_out_of_tile(i), lambda args: args, _do_b2,
+                (wrote, delta_ins, dropped))
         return wrote, delta_ins, dropped
 
     def _no_insert(_):
@@ -338,16 +376,20 @@ def bucket_batch(
     key = mixed_flat if keyed else jnp.where(valid_flat, mixed_flat, _SENT)
     if pad:
         key = jnp.concatenate([key, jnp.full((pad,), _SENT, jnp.uint32)])
-    pos = jnp.arange(npad, dtype=jnp.int32)
-    # stable 1-key sort == 2-key (key, pos) sort but ~30% cheaper on TPU
-    # (experiments/perf_sortvariants.py); stability supplies stream order
-    # within equal codes, which the exact-rank semantics require.
-    skey, src = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
+    # UNSTABLE 2-key (code, read_id) sort: ~20% cheaper than the 1-key stable
+    # + position-payload sort (experiments/perf_sortu64.py). Read-level
+    # semantics stay EXACT: ordering equal codes by read id reproduces the
+    # reference's stream order across reads, and within one read the rank
+    # assignment among equal copies is tally-invariant (the read's high-window
+    # count is the same whichever copy takes which rank), so keep/skip
+    # decisions, per-read tallies, and table counts are all unchanged.
+    rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
+    skey, srid = jax.lax.sort((key, rid), num_keys=2, is_stable=False)
 
     # rank within equal-code run + candidate index within bucket row, fused
     # into one bandwidth-bound Pallas pass (ops/segscan.py) — as XLA
     # cummax/cumsum these cost as much as the sort itself
-    p2f, p3f = rank_cand_scan(skey, src, fp_bits=fp_bits, w=w,
+    p2f, p3f = rank_cand_scan(skey, srid, fp_bits=fp_bits, w=w,
                               n_reads=n_reads, interpret=interpret)
 
     # lane-major dense stream blocks: (npad/SUB, SUB) int32

@@ -121,25 +121,28 @@ def _kernel(fp_bits: int, n_reads: int,
     carry_ref[3] = c_row
 
 
-def rank_cand_scan(skey: jax.Array, src: jax.Array, *, fp_bits: int, w: int,
+def rank_cand_scan(skey: jax.Array, srid: jax.Array, *, fp_bits: int, w: int,
                    n_reads: int, interpret: bool = False):
-    """Compute (p2, p3) for the bucket kernel from the sorted key/src streams.
+    """Compute (p2, p3) for the bucket kernel from the sorted key/rid streams.
 
     Args:
       skey: uint32 [N] sorted mixed codes (pads = 0xFFFFFFFF). N must be a
         multiple of BLOCK (32768) — callers pad with the sentinel.
-      src: int32 [N] original stream position of each sorted element.
+      srid: int32 [N] read id of each sorted element (the sort's secondary
+        key), already clamped to [0, n_reads).
       fp_bits: fingerprint bits (bucket row = skey >> fp_bits).
-      w: windows per read; n_reads: reads in batch (read id clamp).
+      w: windows per read (unused; kept for call-site symmetry);
+      n_reads: reads in batch.
 
     Returns:
       p2 int32 [N] = (read_id << 16) | rank(<=65535)
       p3 int32 [N] = candidate index within bucket row, clamped to 128.
     """
+    del w
     n = skey.shape[0]
     assert n % BLOCK == 0, f"pad stream to a multiple of {BLOCK}, got {n}"
     n_steps = n // BLOCK
-    rid16 = jnp.minimum(src // w, n_reads - 1) << 16
+    rid16 = jnp.minimum(srid, n_reads - 1) << 16
 
     key2d = jax.lax.bitcast_convert_type(skey, jnp.int32).reshape(
         n // BLOCK_LANES, BLOCK_LANES)
