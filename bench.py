@@ -15,8 +15,9 @@ import numpy as np
 READ_LEN = 150
 K = 15
 BATCH_READS = 16384  # rows (reads); pairs = rows/2
-WARMUP = 3
-ITERS = 20
+GROUP = 10           # batches per device dispatch (--dispatch-group)
+WARMUP = 2           # step_many groups (each covers GROUP batches)
+ITERS = 4            # timed step_many groups
 BASELINE_READS_PER_S = 2 * 121_614  # reference 10-CPU aggregate (README.md:78)
 
 
@@ -40,14 +41,14 @@ def main():
     rng = np.random.default_rng(0)
     # realistic duplication structure: reads drawn from a 4k-transcript pool
     pool = rng.integers(0, 4, size=(4096, pad), dtype=np.uint8)
-    batches = []
-    for _ in range(4):
-        idx = rng.integers(0, pool.shape[0], size=BATCH_READS)
-        batches.append(jnp.asarray(pool[idx]))  # staged on device: the bench
-        # measures on-chip count+filter throughput (H2D over this sandbox's
-        # loopback tunnel is ~66 MB/s and not representative of production PCIe)
-    lengths = np.full((BATCH_READS,), READ_LEN, np.int32)
-    rec_valid = np.ones((BATCH_READS // 2,), bool)
+    # GROUP batches stacked for one step_many dispatch (the engine's
+    # --dispatch-group path). Staged on device: the bench measures on-chip
+    # count+filter throughput (H2D over this sandbox's loopback tunnel is
+    # ~66 MB/s and not representative of production PCIe).
+    idx = rng.integers(0, pool.shape[0], size=(GROUP, BATCH_READS))
+    batches = jnp.asarray(pool[idx])  # [GROUP, BATCH_READS, pad]
+    lengths = np.full((GROUP, BATCH_READS), READ_LEN, np.int32)
+    rec_valid = np.ones((GROUP, BATCH_READS // 2), bool)
 
     # bucket table: the fused Pallas kernel path with EXACT sequential
     # semantics (bit-identical decisions to the single-CPU reference for any
@@ -63,21 +64,21 @@ def main():
     valid_d = jnp.asarray(rec_valid)
 
     # warmup + compile
-    for i in range(WARMUP):
-        state, keep, stats, _ = step.step(
-            state, batches[i % len(batches)], lengths_d, valid_d
+    for _ in range(WARMUP):
+        state, keep, stats, _ = step.step_many(
+            state, batches, lengths_d, valid_d
         )
     _sync(keep)
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, keep, stats, _ = step.step(
-            state, batches[i % len(batches)], lengths_d, valid_d
+    for _ in range(ITERS):
+        state, keep, stats, _ = step.step_many(
+            state, batches, lengths_d, valid_d
         )
     _sync(keep)
     dt = time.perf_counter() - t0
 
-    reads_per_s = BATCH_READS * ITERS / dt
+    reads_per_s = BATCH_READS * GROUP * ITERS / dt
     print(json.dumps({
         "metric": "reads/s/chip kmer count+filter (k=15, paired, exact mode, bucket table)",
         "value": round(reads_per_s),

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     tpu = p.add_argument_group("TPU-native options")
     tpu.add_argument("--batch-reads", type=int, default=8192,
                      help="reads (or pairs) per device batch")
+    tpu.add_argument("--dispatch-group", type=int, default=1,
+                     help="batches per device dispatch (lax.scan grouping; "
+                          "amortizes per-dispatch runtime overhead)")
     tpu.add_argument("--mode", choices=["exact", "relaxed"], default="exact",
                      help="exact = reference-sequential semantics via sort-based "
                           "ranks; relaxed = pair-local ranks (batch-order independent)")
@@ -121,6 +124,7 @@ def config_from_args(argv=None) -> Config:
         single=args.single,
         print_table=args.print_table,
         batch_reads=args.batch_reads,
+        dispatch_group=args.dispatch_group,
         mode=args.mode,
         table=args.table,
         out_dir=args.out_dir,

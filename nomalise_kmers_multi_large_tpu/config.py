@@ -74,6 +74,10 @@ class Config:
                                                # is its commented-out alternative (:1638)
     stride: int = 1                      # sample every s-th window; 1 = reference
                                          # semantics; >1 per nk.c:30-33's own TODO
+    dispatch_group: int = 1              # batches per device dispatch (lax.scan
+                                         # grouping; amortizes ~0.9 ms/dispatch
+                                         # runtime overhead — engine/step.py
+                                         # step_many). 1 = one batch per call.
     n_devices: int = 0                   # 0 => all local devices
     sharding: Literal["local", "global"] = "local"  # Mode A vs Mode B
     spectrum: bool = False               # print k-mer spectrum stats at the end
@@ -188,4 +192,7 @@ class Config:
             raise ConfigError("bucket table supports k<=15; use hashed for larger k")
         if self.stride < 1 or self.stride > self.ksize:
             raise ConfigError(f"stride ({self.stride}) must be in [1, k]")
+        if self.dispatch_group < 1:
+            raise ConfigError(
+                f"dispatch-group ({self.dispatch_group}) must be >= 1")
         return self

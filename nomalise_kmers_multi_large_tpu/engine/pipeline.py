@@ -298,7 +298,52 @@ class Normalizer:
             if resume_active:
                 resume = None  # consumed
 
-            pending = None  # (batch, shard, keep_dev, ...) double buffer
+            # in-flight double buffer: ([batches], shard, keep, stats, tallies)
+            pending = None
+            # per-shard staging queues for grouped dispatch (--dispatch-group):
+            # G packed batches go to the device as ONE lax.scan call
+            # (engine/step.py step_many), amortizing per-dispatch runtime
+            # overhead (~0.9 ms on this platform) to 0.9/G ms per batch
+            groups: dict[int, list] = {}
+
+            def flush_shard(shard: int) -> int:
+                """Dispatch shard's staged batches; retire the previous
+                in-flight dispatch. Returns records retired."""
+                nonlocal pending
+                q = groups.pop(shard, None)
+                if not q:
+                    return 0
+                step = self._get_step(shard, paired)
+                with self.timer.stage("dispatch"):
+                    if len(q) == 1:
+                        _, bases, lengths, rv = q[0]
+                        self.states[shard], keep, stats, tallies = step.step(
+                            self.states[shard], bases, lengths, rv
+                        )
+                    else:
+                        bs = np.stack([x[1] for x in q])
+                        ls = np.stack([x[2] for x in q])
+                        rs = np.stack([x[3] for x in q])
+                        self.states[shard], keep, stats, tallies = (
+                            step.step_many(self.states[shard], bs, ls, rs)
+                        )
+                done = 0
+                if pending is not None:
+                    done = self._retire_group(*pending)
+                pending = ([x[0] for x in q], shard, keep, stats, tallies)
+                return done
+
+            def drain() -> int:
+                """Flush every staged queue and retire everything in flight."""
+                nonlocal pending
+                done = 0
+                for s in list(groups):
+                    done += flush_shard(s)
+                if pending is not None:
+                    done += self._retire_group(*pending)
+                    pending = None
+                return done
+
             for batch in it:
                 n = len(batch)
                 if skip:
@@ -309,33 +354,32 @@ class Normalizer:
                         continue
                     batch = self._slice_batch(batch, take, n)
                     n = len(batch)
-                # checkpoint only when no batch is in flight: the table state
-                # must describe exactly the records counted in records_done
+                # checkpoint only when nothing is staged or in flight: the
+                # table state must describe exactly the records counted in
+                # records_done
                 if (
                     ckpt
                     and cfg.checkpoint_every
                     and batches_since_ckpt >= cfg.checkpoint_every
                 ):
-                    if pending is not None:
-                        records_done += self._retire(*pending)
-                        pending = None
+                    records_done += drain()
                     self._checkpoint(ckpt, fi, records_done, rr)
                     batches_since_ckpt = 0
                 with self.timer.stage("pack"):
                     bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
                 shard = rr % cfg.shards
                 rr += 1
-                step = self._get_step(shard, paired)
-                with self.timer.stage("dispatch"):
-                    self.states[shard], keep, stats, tallies = step.step(
-                        self.states[shard], bases, lengths, rec_valid
-                    )
-                if pending is not None:
-                    records_done += self._retire(*pending)
+                q = groups.setdefault(shard, [])
+                if q and q[0][1].shape != bases.shape:
+                    # adaptive read-length padding changed the batch shape:
+                    # a scan group must be shape-homogeneous
+                    records_done += flush_shard(shard)
+                    q = groups.setdefault(shard, [])
+                q.append((batch, bases, lengths, rec_valid))
                 batches_since_ckpt += 1
-                pending = (batch, shard, keep, stats, tallies)
-            if pending is not None:
-                records_done += self._retire(*pending)
+                if len(q) >= cfg.dispatch_group:
+                    records_done += flush_shard(shard)
+            records_done += drain()
 
             # per-file aggregation (reference :1896-1912)
             self._refresh_unique_counts()
@@ -380,6 +424,34 @@ class Normalizer:
         paths = [p for w in self.writers for p in w.paths()]
         ckpt.save(self.states, self.counters, file_index, records_done, paths, rr,
                   self.seeded_lo)
+
+    def _retire_group(self, batches, shard, keep_dev, stats_dev,
+                      tallies_dev) -> int:
+        """Retire one dispatch: a single batch, or a step_many group whose
+        outputs carry a leading G axis."""
+        if len(batches) == 1:
+            return self._retire(batches[0], shard, keep_dev, stats_dev,
+                                tallies_dev)
+        from nomalise_kmers_multi_large_tpu.engine.step import (
+            ReadTallies,
+            StepStats,
+        )
+
+        with self.timer.stage("device_wait"):
+            keep = np.asarray(keep_dev)
+            proc = np.asarray(stats_dev.processed)
+            printed = np.asarray(stats_dev.printed)
+            skipped = np.asarray(stats_dev.skipped)
+            high = np.asarray(tallies_dev.high)
+            total = np.asarray(tallies_dev.total)
+        done = 0
+        for g, b in enumerate(batches):
+            done += self._retire(
+                b, shard, keep[g],
+                StepStats(proc[g], printed[g], skipped[g]),
+                ReadTallies(high[g], total[g]),
+            )
+        return done
 
     def _retire(self, batch, shard, keep_dev, stats_dev, tallies_dev) -> int:
         with self.timer.stage("device_wait"):

@@ -87,6 +87,7 @@ class BatchStep:
         #: per-window costs by s. Opt-in; changes decisions slightly.
         self.stride = stride
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._step_many = jax.jit(self._step_many_impl, donate_argnums=(0,))
         self._seed = jax.jit(self._seed_impl, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -266,9 +267,34 @@ class BatchStep:
         state, _ = self.table.count_and_update(state, stream, seed=True)
         return state
 
+    def _step_many_impl(self, state: TableState, bases, lengths, rec_valid):
+        """G sequential super-steps in ONE device dispatch (lax.scan).
+
+        Per-dispatch host/runtime overhead is ~0.9 ms on this platform
+        (experiments/perf_encode.py) — ~10% of a 16k-read batch. Grouping G
+        staged batches amortizes it to 0.9/G ms. Semantics are identical to G
+        ``step`` calls: the scan carries the table state, so batch i+1 sees
+        batch i's counts exactly as the streaming loop would.
+
+        Args: leading axis G on every operand. Returns stacked
+        (keep[G, B], StepStats[G], ReadTallies[G]).
+        """
+
+        def body(st, xs):
+            b, ln, rv = xs
+            st, keep, stats, tallies = self._step_impl(st, b, ln, rv)
+            return st, (keep, stats, tallies)
+
+        state, (keep, stats, tallies) = jax.lax.scan(
+            body, state, (bases, lengths, rec_valid))
+        return state, keep, stats, tallies
+
     # ------------------------------------------------------------------
     def step(self, state, bases, lengths, rec_valid):
         return self._step(state, bases, lengths, rec_valid)
+
+    def step_many(self, state, bases, lengths, rec_valid):
+        return self._step_many(state, bases, lengths, rec_valid)
 
     def seed_step(self, state, bases, lengths):
         return self._seed(state, bases, lengths)

@@ -174,3 +174,49 @@ def test_mixed_paired_and_single(tmp_path):
             tmp_path / f"{base}.k15_norm4_thread0.fastq",
             GOLDEN / "mixed_single_k15" / f"{base}.k15_norm4_thread0.fastq",
         )
+
+
+def test_dispatch_group_parity(tmp_path):
+    """--dispatch-group G must be decision- and output-identical to G=1:
+    step_many is the same sequential super-steps in one lax.scan dispatch.
+    Small batches force several full groups plus a remainder flush."""
+    cfg = Config(
+        forward_files=(str(T / "a1.fastq"),), reverse_files=(str(T / "b1.fastq"),),
+        ksize=15, depth=4, out_dir=str(tmp_path), batch_reads=512,
+        dispatch_group=3,
+    )
+    _, report = _run(cfg)
+    want = _golden_stats("a1b1_paired_k15_d4")
+    assert (report.total_processed, report.total_printed, report.total_skipped,
+            report.max_total_kmers) == want
+    for base in ("output_forward", "output_reverse"):
+        _assert_same_file(
+            tmp_path / f"{base}.k15_norm4_thread0.fastq",
+            GOLDEN / "a1b1_paired_k15_d4" / f"{base}.k15_norm4_thread0.fastq",
+        )
+
+
+def test_dispatch_group_multi_shard(tmp_path):
+    """Grouped dispatch with 2 shards: per-shard queues must not interleave
+    state (round-robin deal, independent tables)."""
+    cfg1 = Config(
+        forward_files=(str(T / "a1.fastq"),), reverse_files=(str(T / "b1.fastq"),),
+        ksize=15, depth=4, shards=2, out_dir=str(tmp_path / "g1"),
+        batch_reads=256, dispatch_group=1,
+    )
+    cfg3 = Config(
+        forward_files=(str(T / "a1.fastq"),), reverse_files=(str(T / "b1.fastq"),),
+        ksize=15, depth=4, shards=2, out_dir=str(tmp_path / "g3"),
+        batch_reads=256, dispatch_group=3,
+    )
+    (tmp_path / "g1").mkdir()
+    (tmp_path / "g3").mkdir()
+    _, r1 = _run(cfg1)
+    _, r3 = _run(cfg3)
+    assert (r1.total_processed, r1.total_printed, r1.total_skipped) == (
+        r3.total_processed, r3.total_printed, r3.total_skipped)
+    for s in (0, 1):
+        for base in ("output_forward", "output_reverse"):
+            f1 = tmp_path / "g1" / f"{base}.k15_norm2_thread{s}.fastq"
+            f3 = tmp_path / "g3" / f"{base}.k15_norm2_thread{s}.fastq"
+            assert f1.read_bytes() == f3.read_bytes(), f"{base} shard {s}"
