@@ -67,7 +67,7 @@ def main():
     t_disp = timeit(empty, jnp.zeros((8, 128), jnp.float32), iters=50)
     print(f"dispatch roundtrip   {t_disp*1e3:8.3f} ms")
 
-    key2d, _ = jax.jit(lambda b, l: encode_keys(b, l, K, False))(bases, lengths)
+    key2d = jax.jit(lambda b, l: encode_keys(b, l, K, False))(bases, lengths)
 
     # steady state: run once to populate, then time with warm table
     fp = jnp.zeros((ROWS, LANES), jnp.int32)

@@ -64,13 +64,15 @@ def prep(key2d):
 
 @jax.jit
 def l0(bases, lengths):
-    key2d, valid = encode_keys(bases, lengths, K, False)
+    key2d = encode_keys(bases, lengths, K, False)
+    valid = key2d != jnp.uint32(0xFFFFFFFF)
     return jnp.sum(key2d, dtype=jnp.uint32) + jnp.sum(valid)
 
 
 @jax.jit
 def l1(bases, lengths):
-    key2d, valid = encode_keys(bases, lengths, K, False)
+    key2d = encode_keys(bases, lengths, K, False)
+    valid = key2d != jnp.uint32(0xFFFFFFFF)
     key, rid = prep(key2d)
     skey, srid = jax.lax.sort((key, rid), num_keys=2, is_stable=False)
     return jnp.sum(skey, dtype=jnp.uint32) + jnp.sum(srid) + jnp.sum(valid)
@@ -78,7 +80,8 @@ def l1(bases, lengths):
 
 @jax.jit
 def l2(bases, lengths):
-    key2d, valid = encode_keys(bases, lengths, K, False)
+    key2d = encode_keys(bases, lengths, K, False)
+    valid = key2d != jnp.uint32(0xFFFFFFFF)
     key, rid = prep(key2d)
     skey, srid = jax.lax.sort((key, rid), num_keys=2, is_stable=False)
     p2, p3 = rank_cand_scan(skey, srid, fp_bits=FP_BITS, w=W, n_reads=READS)
@@ -88,7 +91,8 @@ def l2(bases, lengths):
 
 @jax.jit
 def l3(bases, lengths):
-    key2d, valid = encode_keys(bases, lengths, K, False)
+    key2d = encode_keys(bases, lengths, K, False)
+    valid = key2d != jnp.uint32(0xFFFFFFFF)
     key, rid = prep(key2d)
     skey, srid = jax.lax.sort((key, rid), num_keys=2, is_stable=False)
     p2, p3 = rank_cand_scan(skey, srid, fp_bits=FP_BITS, w=W, n_reads=READS)
@@ -115,7 +119,8 @@ def l3(bases, lengths):
 
 @partial(jax.jit, donate_argnums=(0, 1))
 def l4(fp, counts, bases, lengths):
-    key2d, valid = encode_keys(bases, lengths, K, False)
+    key2d = encode_keys(bases, lengths, K, False)
+    valid = key2d != jnp.uint32(0xFFFFFFFF)
     out = bucket_batch(fp, counts, key2d.reshape(-1), None, k=K, rows=ROWS,
                        depth=50, windows_per_read=W, chunk=CHUNK, keyed=True)
     return out.fp, out.counts, jnp.sum(out.high_per_read) + jnp.sum(valid)

@@ -41,7 +41,8 @@ def timeit(fn, *args, iters=20, warmup=3):
 
 @jax.jit
 def stage_encode(bases, lengths):
-    return encode_keys(bases, lengths, K, False)
+    key2d = encode_keys(bases, lengths, K, False)
+    return key2d, key2d != jnp.uint32(0xFFFFFFFF)
 
 
 @jax.jit

@@ -102,8 +102,8 @@ class BatchStep:
 
     def _encode_mixed(self, bases, lengths):
         """Fused encode+mix+key (bucket path): one Pallas pass produces
-        sort-ready keys (invalid windows pre-set to the sentinel) plus the
-        validity plane for per-read totals (ops/encode_kernel.py)."""
+        sort-ready keys; invalid windows are pre-set to the sentinel, so
+        validity is ``key != 0xFFFFFFFF`` (ops/encode_kernel.py)."""
         from nomalise_kmers_multi_large_tpu.ops.encode_kernel import encode_keys
 
         return encode_keys(
@@ -157,13 +157,14 @@ class BatchStep:
             # aggregation in the bucket kernel; semantics are EXACT
             # (reference-sequential) for any batch size regardless of
             # self.mode (ops/bucket_kernel.py)
-            key, valid = self._encode_mixed(bases, lengths)
+            key = self._encode_mixed(bases, lengths)
             state, out = self.table.process_batch_mixed(
                 state, key, None, depth=self.depth,
                 windows_per_read=key.shape[1], keyed=True,
             )
             high_per_read = out.high_per_read[:R]
-            total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
+            total_per_read = jnp.sum(
+                key != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
             return self._classify(
                 state, high_per_read, total_per_read, rec_valid
             )
@@ -243,7 +244,7 @@ class BatchStep:
         from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
 
         if isinstance(self.table, BucketTable) and self.stride == 1:
-            key, _valid = self._encode_mixed(bases, lengths)
+            key = self._encode_mixed(bases, lengths)
             state, _ = self.table.process_batch_mixed(
                 state, key, None, depth=self.depth,
                 windows_per_read=key.shape[1], seed=True, keyed=True

@@ -27,10 +27,12 @@ def _check(R, L, k, canonical, seed=0, short_frac=0.0):
     if short_frac:
         idx = rng.random(R) < short_frac
         lengths[idx] = rng.integers(0, L + 1, size=int(idx.sum()))
-    got_key, got_valid = encode_keys(
+    got_key = encode_keys(
         jnp.asarray(bases), jnp.asarray(lengths), k, canonical, interpret=True)
     want_key, want_valid = _xla_reference(bases, lengths, k, canonical)
-    np.testing.assert_array_equal(np.asarray(got_valid), want_valid)
+    # validity is encoded IN the key: key != SENT <=> valid
+    np.testing.assert_array_equal(
+        np.asarray(got_key != SENT).astype(np.int32), want_valid)
     np.testing.assert_array_equal(np.asarray(got_key), want_key)
 
 
@@ -54,9 +56,8 @@ def test_small_k():
 def test_polyA_windows_dropped():
     bases = np.zeros((8, 60), np.uint8)  # all-A reads: every window code 0
     lengths = np.full((8,), 60, np.int32)
-    key, valid = encode_keys(jnp.asarray(bases), jnp.asarray(lengths), 9,
-                             False, interpret=True)
-    assert int(np.asarray(valid).sum()) == 0
+    key = encode_keys(jnp.asarray(bases), jnp.asarray(lengths), 9,
+                      False, interpret=True)
     np.testing.assert_array_equal(np.asarray(key), SENT)
 
 
