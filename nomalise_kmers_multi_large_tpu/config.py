@@ -119,8 +119,15 @@ class Config:
     def table_kind(self) -> str:
         if self.table != "auto":
             return self.table
-        # direct table needs 4^k int32 slots; cap at k=15 (4 GiB of HBM).
-        return "direct" if self.ksize <= 15 else "hashed"
+        if self.ksize > 15:
+            return "hashed"
+        # bucket = the production Pallas path (fused MXU kernel, compact
+        # state, ~8x the direct table's throughput on TPU). On the CPU
+        # backend Pallas runs in interpret mode (orders of magnitude slower),
+        # so auto keeps the XLA direct table there (4^k int32 slots, k<=15).
+        import jax
+
+        return "bucket" if jax.default_backend() != "cpu" else "direct"
 
     @property
     def direct_capacity(self) -> int:

@@ -114,3 +114,37 @@ def test_mode_b_hashed_global_table():
         st1, jnp.asarray(bases), jnp.asarray(lengths), jnp.ones(128, bool)
     )
     np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep1))
+
+
+def test_mode_a_bucket_table():
+    """The production bucket table composes with shard_map Mode A (auto picks
+    it on TPU, config.table_kind): same decisions as independent per-shard
+    oracles."""
+    from nomalise_kmers_multi_large_tpu.table import BucketTable
+
+    assert jax.device_count() >= S
+    mesh = data_mesh(S)
+    table = BucketTable(K, rows=128)
+    mstep = ModeAStep(mesh, _mk_step(table, DEPTH // S))
+    state = mstep.init_states()
+
+    reads = _reads(128)
+    bases, lengths = _pack(reads)
+    keeps = []
+    for i in range(0, 128, 64):
+        state, keep, stats, _ = mstep(
+            state, jnp.asarray(bases[i: i + 64]),
+            jnp.asarray(lengths[i: i + 64]), jnp.ones(64, bool),
+        )
+        keeps.append(np.asarray(keep))
+        assert int(stats.processed) == 64
+    got = np.concatenate(keeps)
+
+    oracles = [Oracle(K, DEPTH // S, COVERAGE) for _ in range(S)]
+    want = np.zeros(128, bool)
+    for b in range(2):
+        for d in range(S):
+            for j in range(8):
+                idx = b * 64 + d * 8 + j
+                want[idx] = oracles[d].process_single(reads[idx])
+    np.testing.assert_array_equal(got, want)
