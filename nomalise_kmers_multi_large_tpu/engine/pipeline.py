@@ -395,6 +395,11 @@ class Normalizer:
             if ckpt and cfg.checkpoint_every:
                 self._checkpoint(ckpt, fi + 1, 0, rr)
 
+        if self.report.files_processed == 0:
+            # resume found every file already done: the per-file absorb never
+            # ran, but the restored counters still hold the run's totals
+            self._refresh_unique_counts()
+            self.report.absorb(self.counters)
         for c in self.counters:
             c.maybe_report(cfg.verbose, force=True)
         for w in self.writers:

@@ -100,3 +100,15 @@ def test_stride_mode_runs(tmp_path):
     assert rep4.total_processed == rep1.total_processed == 5000
     # decisions are similar but not identical; both keep a sane majority
     assert 0.5 < rep4.total_printed / rep1.total_printed < 1.5
+
+
+def test_resume_after_completed_run_reports_totals(tmp_path):
+    """Resuming a run whose checkpoint says every file is done must re-report
+    the restored totals, not zeros (regression: the per-file absorb never ran
+    when all files were skipped)."""
+    rep1 = Normalizer(_cfg(tmp_path, checkpoint_every=1)).run()
+    rep2 = Normalizer(_cfg(tmp_path, checkpoint_every=1, resume=True)).run()
+    assert (rep2.total_processed, rep2.total_printed, rep2.total_skipped,
+            rep2.max_total_kmers) == (
+        rep1.total_processed, rep1.total_printed, rep1.total_skipped,
+        rep1.max_total_kmers)

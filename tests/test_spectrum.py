@@ -39,3 +39,22 @@ def test_spectrum_hashed_with_seeds():
     assert sp.histogram[3] == 1
     assert sp.distinct_kmers == 1  # counted kmers only
     assert sp.total_kmers == 3
+
+
+def test_spectrum_bucket():
+    """Bucket-table states (keys = [rows, 128] fingerprints) must work too —
+    auto picks the bucket table on accelerators, and --spectrum reads the
+    final shard state (regression: 2-D counts crashed jnp.bincount)."""
+    from nomalise_kmers_multi_large_tpu.table import BucketTable
+
+    t = BucketTable(7, rows=128)
+    s = t.init()
+    codes = np.array([1, 2, 3] + [4] * 5 + [5] * 5 + [6] * 10, np.uint32)
+    s, _ = t.process_batch_mixed(
+        s, jnp.asarray(codes)[None, :], jnp.ones((1, len(codes)), bool),
+        depth=100, windows_per_read=len(codes))
+    sp = spectrum(t, s)
+    assert sp.distinct_kmers == 6
+    assert sp.total_kmers == len(codes)
+    assert sp.histogram[1] == 3 and sp.histogram[5] == 2 and sp.histogram[10] == 1
+    assert sp.coverage_peak == 5
