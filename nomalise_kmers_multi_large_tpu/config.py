@@ -121,6 +121,10 @@ class Config:
             return self.table
         if self.ksize > 15:
             return "hashed"
+        if self.depth_per_shard > 65535:
+            # the bucket kernel's count limbs clamp at 65535 (lossless only
+            # when depth fits); auto falls back to the exact direct table
+            return "direct"
         # bucket = the production Pallas path (fused MXU kernel, compact
         # state, ~8x the direct table's throughput on TPU). On the CPU
         # backend Pallas runs in interpret mode (orders of magnitude slower),
@@ -197,6 +201,13 @@ class Config:
             raise ConfigError("direct table supports k<=15 (4^k int32 slots); use hashed")
         if self.table == "bucket" and self.ksize > 15:
             raise ConfigError("bucket table supports k<=15; use hashed for larger k")
+        if self.table == "bucket" and self.depth_per_shard > 65535:
+            # the reference validates depth up front (nk.c:734); the bucket
+            # kernel's 2x8-bit count limbs are exact only for depth <= 65535
+            raise ConfigError(
+                f"Depth per shard ({self.depth_per_shard}) exceeds 65535, the "
+                "bucket table's exact counting range; use --table direct or hashed"
+            )
         if self.stride < 1 or self.stride > self.ksize:
             raise ConfigError(f"stride ({self.stride}) must be in [1, k]")
         if self.dispatch_group < 1:

@@ -367,6 +367,8 @@ class Normalizer:
                     batches_since_ckpt = 0
                 with self.timer.stage("pack"):
                     bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
+                if cfg.debug >= 3:
+                    self._debug_roundtrip(bases, lengths)
                 shard = rr % cfg.shards
                 rr += 1
                 q = groups.setdefault(shard, [])
@@ -470,6 +472,13 @@ class Normalizer:
         c.skipped += int(stats_dev.skipped)
         if self.cfg.debug > 1:
             self._debug_records(batch, shard, keep, tallies_dev, prev_processed)
+        if c.due():
+            # refresh live table occupancy so the 60 s verbose line reports
+            # current unique k-mers (reference reads ht->used live,
+            # nk.c:1715-1723), not the last file-boundary snapshot
+            c.unique_kmers = self.tables[shard].used_count(
+                self.states[shard], self.seeded_lo
+            )
         c.maybe_report(self.cfg.verbose)
         return len(batch)
 
@@ -509,10 +518,72 @@ class Normalizer:
                     f"High count ratio: F:{r:.2f}"
                 )
 
+    def _debug_roundtrip(self, bases, lengths):
+        """--debug >= 3 inline self-check (reference nk.c:950-960, 976-991):
+        the reference cross-checks decode(encode(kmer)) for every stored k-mer
+        and exits on mismatch. TPU analogue, per batch: run the production
+        device encode, decode every counted code back to a string on the host,
+        re-encode it with an independent host path, and — on the bucket path —
+        cross-check the fused Pallas keys against the XLA codec + mix."""
+        import jax.numpy as jnp
+
+        from nomalise_kmers_multi_large_tpu.io.pack import LUT
+        from nomalise_kmers_multi_large_tpu.ops.codec import (
+            encode_windows_canonical,
+            window_validity,
+        )
+        from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
+
+        cfg = self.cfg
+        k = cfg.ksize
+        hi, lo = encode_windows_canonical(jnp.asarray(bases), k, cfg.canonical)
+        valid = np.asarray(window_validity(jnp.asarray(lengths), hi, lo, k))
+        hi, lo = np.asarray(hi), np.asarray(lo)
+        vhi, vlo = hi[valid], lo[valid]
+        if vhi.size:
+            kmers = decode_codes(vhi, vlo, k)
+            arr = LUT[
+                np.frombuffer("".join(kmers).encode(), np.uint8)
+            ].reshape(len(kmers), k).astype(np.uint64)
+            code2 = np.zeros(len(kmers), np.uint64)
+            for j in range(k):
+                code2 = (code2 << np.uint64(2)) | arr[:, j]
+            bad = ((code2 & np.uint64(0xFFFFFFFF)).astype(np.uint32) != vlo) | (
+                (code2 >> np.uint64(32)).astype(np.uint32) != vhi
+            )
+            if bad.any():
+                i = int(np.argmax(bad))
+                # reference exits on mismatch (nk.c:957-959)
+                raise SystemExit(
+                    f"FATAL: kmers do not match hash: {kmers[i]} vs "
+                    f"{(int(vhi[i]) << 32) | int(vlo[i])}"
+                )
+        if isinstance(self.tables[0], BucketTable) and cfg.stride == 1:
+            from nomalise_kmers_multi_large_tpu.ops.encode_kernel import encode_keys
+            from nomalise_kmers_multi_large_tpu.ops.mix import mix32_np
+
+            key = np.asarray(
+                encode_keys(
+                    jnp.asarray(bases), jnp.asarray(lengths), k, cfg.canonical,
+                    interpret=self.tables[0].interpret,
+                )
+            )
+            expect = np.full(key.shape, 0xFFFFFFFF, np.uint32)
+            expect[valid] = mix32_np(lo[valid], 2 * k)
+            if (key != expect).any():
+                r, w = np.argwhere(key != expect)[0]
+                raise SystemExit(
+                    f"FATAL: fused encode kernel disagrees with codec at "
+                    f"read {r} window {w}: {key[r, w]:#x} vs {expect[r, w]:#x}"
+                )
+
     def _refresh_unique_counts(self):
         for s in range(self.cfg.shards):
             t = self.tables[s]
             self.counters[s].unique_kmers = t.used_count(self.states[s], self.seeded_lo)
+            st = self.states[s]
+            if st.overflow is not None:
+                self.counters[s].overflow = int(st.overflow)
 
     def shard_state(self, s: int = 0):
         return self.states[s]

@@ -29,6 +29,7 @@ class ShardCounters:
     printed: int = 0
     skipped: int = 0
     unique_kmers: int = 0
+    overflow: int = 0  # inserts dropped by a full table (0 once growth is on)
     # deltas for the verbose rate line
     last_report_time: float = dataclasses.field(default_factory=time.time)
     last_report_processed: int = 0
@@ -36,6 +37,13 @@ class ShardCounters:
     prev_skipped: int = 0
     prev_rate: float = 0.0
     prev_kmers: int = 0
+
+    def due(self) -> bool:
+        """True when the 60 s reporting window has elapsed — callers refresh
+        live table occupancy before maybe_report so the verbose line shows
+        current unique k-mers (the reference reads ht->used live,
+        nk.c:1715-1723), not a stale per-file snapshot."""
+        return time.time() - self.last_report_time >= REPORTING_INTERVAL
 
     def maybe_report(self, verbose: bool, force: bool = False):
         now = time.time()
@@ -86,6 +94,16 @@ class RunReport:
             [self.max_total_kmers] + [s.unique_kmers for s in shards]
         )
         self.files_processed += 1
+        for s in shards:
+            if s.overflow:
+                # analogue of the reference's saturation warning
+                # (expand_local_hash_table nk.c:1099-1102): the reference never
+                # silently loses an insert, so neither may we
+                _p(
+                    f"WARNING: Thread {s.shard} k-mer table dropped "
+                    f"{s.overflow:,} inserts (table full); counts may be "
+                    "underestimated — increase --memory_start"
+                )
 
     def final(self, paired: bool):
         _p("\n--- Final Report ---")

@@ -124,6 +124,64 @@ class BucketTable(CountTable):
             "BucketTable uses process_batch (whole-batch kernel), not the "
             "SortedStream interface")
 
+    # ------------------------------------------------------------------
+    #: engine grows when projected occupancy exceeds this fraction — early
+    #: enough that no bucket row (Poisson-loaded via the bijective mix) comes
+    #: near its 128 lanes. Role of the reference's 0.8 load-factor trigger
+    #: (nk.c:143,933-934), which likewise grows BEFORE any insert can fail.
+    grow_headroom = 0.75
+
+    @property
+    def can_grow(self) -> bool:
+        """Growable until capacity reaches 4^k, where every row holds exactly
+        its 128 possible fingerprints and overflow is structurally impossible
+        (and fp_bits >= 1 keeps the kernel's fingerprint plane nonempty)."""
+        return self.capacity < 4 ** self.k
+
+    def grown(self, state: TableState) -> tuple["BucketTable", TableState]:
+        """Double the rows: the TPU-native analogue of the reference's rehash
+        (expand_local_hash_table nk.c:1055-1108), as a pure local remap instead
+        of a re-insertion loop. Row of code c is mix(c) >> fp_bits, so halving
+        fp_bits sends the entry at (r, fp) to row 2r + top_bit(fp) with
+        fingerprint fp minus its top bit — each old row splits into two new
+        rows, left-packed, all in one vectorized XLA pass (no scatters, no
+        probing, and unlike the reference's linear-probe rehash, no corruption).
+        """
+        fb = 2 * self.k - int(np.log2(self.rows))
+        assert self.can_grow and fb >= 2, "table already at 4^k capacity"
+        occ = state.keys != 0
+        fpv = state.keys - 1                     # fingerprint (occupied lanes)
+        top = jnp.where(occ, (fpv >> (fb - 1)) & 1, 2)
+        order = jnp.argsort(top, axis=1, stable=True)
+        sk = jnp.take_along_axis(state.keys, order, axis=1)
+        sc = jnp.take_along_axis(state.counts, order, axis=1)
+        n0 = jnp.sum(top == 0, axis=1, keepdims=True)
+        n1 = jnp.sum(top == 1, axis=1, keepdims=True)
+        lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+        newmask = (1 << (fb - 1)) - 1
+
+        def strip(kk):
+            # drop the consumed top fingerprint bit; keep the +1 empty-marker
+            return jnp.where(kk != 0, ((kk - 1) & newmask) + 1, 0)
+
+        even_k = strip(jnp.where(lanes < n0, sk, 0))
+        even_c = jnp.where(lanes < n0, sc, 0)
+        shifted = jnp.take_along_axis(
+            sk, jnp.minimum(lanes + n0, LANES - 1), axis=1)
+        shifted_c = jnp.take_along_axis(
+            sc, jnp.minimum(lanes + n0, LANES - 1), axis=1)
+        odd_k = strip(jnp.where(lanes < n1, shifted, 0))
+        odd_c = jnp.where(lanes < n1, shifted_c, 0)
+        keys2 = jnp.stack([even_k, odd_k], axis=1).reshape(2 * self.rows, LANES)
+        cnt2 = jnp.stack([even_c, odd_c], axis=1).reshape(2 * self.rows, LANES)
+        new = BucketTable(self.k, rows=2 * self.rows,
+                          interpret=self.interpret, tile_rows=self.tile_rows)
+        new_state = TableState(
+            counts=cnt2, keys=keys2, used=state.used,
+            overflow=state.overflow,  # keep the drop tally for reporting
+        )
+        return new, new_state
+
     def used_count(self, state: TableState,
                    seeded_lo: Optional[np.ndarray] = None) -> int:
         """Occupied slots (reference ht->used). Seeds are REAL entries here

@@ -150,6 +150,15 @@ class HashedTable(CountTable):
         return TableState(counts, keys, used, overflow), observed
 
     # ------------------------------------------------------------------
+    #: engine grows when projected occupancy exceeds this fraction (probe
+    #: chains need low load; reference grows at 0.8, nk.c:143,933-934)
+    grow_headroom = _GROW_LOAD
+
+    @property
+    def can_grow(self) -> bool:
+        # slot indices are int32 on device; 2^30 slots = 12 GB of table state
+        return self._capacity < (1 << 30)
+
     def needs_growth(self, state: TableState) -> bool:
         return bool(state.overflow > 0) or int(state.used) > self._capacity * _GROW_LOAD
 
