@@ -47,7 +47,10 @@ class Normalizer:
     def __init__(self, cfg: Config, _single_state: bool = False):
         self.cfg = cfg.validate()
         self.paired_any = bool(cfg.reverse_files)
-        self.tables = [make_table(cfg) for _ in range(cfg.shards)]
+        # identical descriptors are shared so shards share one compiled step;
+        # a shard that grows gets its own descriptor (and its own compile)
+        t0 = make_table(cfg)
+        self.tables = [t0 for _ in range(cfg.shards)]
         # _single_state: mesh engines materialize one seedable state and
         # replicate it onto devices themselves (avoids shards x table allocs)
         if _single_state:
@@ -61,29 +64,83 @@ class Normalizer:
         self.seeded_lo: Optional[np.ndarray] = None  # host set of seeded codes
         self._pad = 0  # adaptive padded read length (static per compiled step)
         self._steps_cache: dict = {}
+        #: host-side upper bound on each shard's table occupancy: real `used`
+        #: at the last device check plus every window dispatched since. Growth
+        #: checks sync the device, so they only run when this bound says the
+        #: next batch could actually cross the headroom (see _maybe_grow).
+        self._used_bound = [0.0] * cfg.shards
+        self._grow_enabled = True
         from nomalise_kmers_multi_large_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def _get_step(self, shard: int, paired: bool) -> BatchStep:
-        key = (paired, self.cfg.mode)
-        if key not in self._steps_cache:
-            self._steps_cache[key] = [
-                BatchStep(
-                    self.tables[s],
-                    k=self.cfg.ksize,
-                    depth_per_shard=self.cfg.depth_per_shard,
-                    coverage=self.cfg.coverage,
-                    canonical=self.cfg.canonical,
-                    paired=paired,
-                    mode=self.cfg.mode,
-                    pair_rule=self.cfg.pair_rule,
-                    stride=self.cfg.stride,
+        # keyed by table identity: shards sharing a descriptor share one
+        # compiled step; growth swaps in a new descriptor => new step
+        key = (paired, self.cfg.mode, id(self.tables[shard]))
+        step = self._steps_cache.get(key)
+        if step is None:
+            step = BatchStep(
+                self.tables[shard],
+                k=self.cfg.ksize,
+                depth_per_shard=self.cfg.depth_per_shard,
+                coverage=self.cfg.coverage,
+                canonical=self.cfg.canonical,
+                paired=paired,
+                mode=self.cfg.mode,
+                pair_rule=self.cfg.pair_rule,
+                stride=self.cfg.stride,
+            )
+            self._steps_cache[key] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def _maybe_grow(self, shard: int, inflow: int):
+        """Grow a shard's table BEFORE a batch that could saturate it.
+
+        The reference grows at 0.8 load factor on every insert
+        (nk.c:933-934, expand_local_hash_table :1055-1108) and so never
+        loses one. Here the check costs a device sync, so it is gated on a
+        host-side occupancy upper bound (last real `used` + every window
+        dispatched since): while the bound says the batch cannot cross the
+        table's headroom, no sync happens at all. `inflow` = windows about
+        to be dispatched = worst-case new insertions.
+        """
+        if not self._grow_enabled:
+            return
+        t = self.tables[shard]
+        headroom = getattr(t, "grow_headroom", None)
+        if headroom is None:
+            return  # direct table: growth-free by construction
+        budget = headroom * t.capacity
+        if self._used_bound[shard] + inflow <= budget:
+            self._used_bound[shard] += inflow
+            return
+        used = t.used_count(self.states[shard], self.seeded_lo)
+        grew = False
+        while getattr(t, "can_grow", False) and used + inflow > headroom * t.capacity:
+            if self.cfg.verbose or self.cfg.debug:
+                print(
+                    f"Thread {shard}: Local hash table expansion triggered, "
+                    f"from {t.capacity:,} to {t.capacity * 2:,}"
                 )
-                for s in range(self.cfg.shards)
-            ]
-        return self._steps_cache[key][shard]
+            t, st = t.grown(self.states[shard])
+            self.tables[shard] = t
+            self.states[shard] = st
+            grew = True
+        if grew and (self.cfg.verbose or self.cfg.debug):
+            print(
+                f"Thread {shard}: Local hash table expansion completed "
+                f"successfully, using {used:,} of {t.capacity:,} new capacity"
+            )
+        if not getattr(t, "can_grow", False) and used + inflow > t.capacity * 0.9:
+            # reference warns when still >90% full after resizing (:1099-1102)
+            print(
+                f"Warning: Thread {shard}: Local hash table is still over 90% "
+                f"full after expansion ({used:,})", file=sys.stderr,
+            )
+        self._used_bound[shard] = float(used)
 
     def _pad_for(self, max_len: int) -> int:
         k = self.cfg.ksize
@@ -150,7 +207,6 @@ class Normalizer:
                 files.append(cfg.reverse_files[i])
 
         seed_codes: list[np.ndarray] = []
-        seed_step = None
         for path in files:
             fx = FastxFile(path, cfg.is_input_fastq)
             remaining = n_seed
@@ -163,8 +219,10 @@ class Normalizer:
                 if isinstance(self.tables[0], DirectTable):
                     seed_codes.append(self._host_codes(bases, lengths))
                 else:
-                    if seed_step is None:
-                        seed_step = self._get_step(0, paired=False)
+                    self._maybe_grow(
+                        0, bases.shape[0] * (bases.shape[1] - cfg.ksize + 1))
+                    # growth swaps the table descriptor; re-resolve the step
+                    seed_step = self._get_step(0, paired=False)
                     self.states[0] = seed_step.seed_step(self.states[0], bases, lengths)
                 remaining -= take
                 if remaining <= 0:
@@ -176,8 +234,11 @@ class Normalizer:
             else:
                 self.seeded_lo = np.empty(0, np.uint32)
         else:
-            # replicate the seeded table to every shard (copy_hash_table :908-927)
+            # replicate the seeded table to every shard (copy_hash_table
+            # :908-927) — including any growth the seed pass triggered
             for s in range(1, len(self.states)):
+                self.tables[s] = self.tables[0]
+                self._used_bound[s] = self._used_bound[0]
                 self.states[s] = jax.tree.map(lambda x: x.copy(), self.states[0])
 
     def _seed_from_tsv(self, path: str):
@@ -203,13 +264,16 @@ class Normalizer:
         if isinstance(self.tables[0], DirectTable):
             self.seeded_lo = self._host_codes(arr, lengths)
         else:
-            step = self._get_step(0, paired=False)
             for i in range(0, len(arr), cfg.batch_reads):
+                chunk = arr[i: i + cfg.batch_reads]
+                self._maybe_grow(0, chunk.shape[0])
+                step = self._get_step(0, paired=False)
                 self.states[0] = step.seed_step(
-                    self.states[0], arr[i: i + cfg.batch_reads],
-                    lengths[i: i + cfg.batch_reads],
+                    self.states[0], chunk, lengths[i: i + cfg.batch_reads],
                 )
             for s in range(1, cfg.shards):
+                self.tables[s] = self.tables[0]
+                self._used_bound[s] = self._used_bound[0]
                 self.states[s] = jax.tree.map(lambda x: x.copy(), self.states[0])
 
     def _host_codes(self, bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -246,7 +310,9 @@ class Normalizer:
         if cfg.resume and ckpt:
             loaded = ckpt.load()
             if loaded:
-                self.states, resume = loaded
+                states, resume = loaded
+                self._install_resumed_states(states)
+                self._rebuild_tables_from_states()
                 self.seeded_lo = resume.seeded_lo
                 for c, saved in zip(self.counters, resume.counters):
                     c.processed = saved["processed"]
@@ -313,24 +379,16 @@ class Normalizer:
                 q = groups.pop(shard, None)
                 if not q:
                     return 0
-                step = self._get_step(shard, paired)
+                w = q[0][1].shape[1] - cfg.ksize + 1
+                self._maybe_grow(shard, sum(x[1].shape[0] for x in q) * w)
                 with self.timer.stage("dispatch"):
-                    if len(q) == 1:
-                        _, bases, lengths, rv = q[0]
-                        self.states[shard], keep, stats, tallies = step.step(
-                            self.states[shard], bases, lengths, rv
-                        )
-                    else:
-                        bs = np.stack([x[1] for x in q])
-                        ls = np.stack([x[2] for x in q])
-                        rs = np.stack([x[3] for x in q])
-                        self.states[shard], keep, stats, tallies = (
-                            step.step_many(self.states[shard], bs, ls, rs)
-                        )
+                    keep, stats, tallies = self._dispatch_queue(
+                        shard, q, paired)
                 done = 0
                 if pending is not None:
                     done = self._retire_group(*pending)
-                pending = ([x[0] for x in q], shard, keep, stats, tallies)
+                pending = ([x[0] for x in q], shard, keep, stats, tallies,
+                           [x[3] for x in q])
                 return done
 
             def drain() -> int:
@@ -369,7 +427,7 @@ class Normalizer:
                     bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
                 if cfg.debug >= 3:
                     self._debug_roundtrip(bases, lengths)
-                shard = rr % cfg.shards
+                shard = self._queue_for(rr)
                 rr += 1
                 q = groups.setdefault(shard, [])
                 if q and q[0][1].shape != bases.shape:
@@ -424,21 +482,51 @@ class Normalizer:
             rev=batch.rev.slice(lo, hi) if batch.rev is not None else None,
         )
 
+    def _queue_for(self, rr: int) -> int:
+        """Staging queue (= shard) of the rr-th batch: round-robin deal. The
+        mesh engine overrides this to a single queue (each dispatch spans all
+        devices)."""
+        return rr % self.cfg.shards
+
+    def _install_resumed_states(self, states):
+        self.states = states
+
+    def _states_for_checkpoint(self):
+        return self.states
+
     def _checkpoint(self, ckpt, file_index: int, records_done: int, rr: int):
         for w in self.writers:
             w.flush()
         self._refresh_unique_counts()
         paths = [p for w in self.writers for p in w.paths()]
-        ckpt.save(self.states, self.counters, file_index, records_done, paths, rr,
-                  self.seeded_lo)
+        ckpt.save(self._states_for_checkpoint(), self.counters, file_index,
+                  records_done, paths, rr, self.seeded_lo)
+
+    def _dispatch_queue(self, shard: int, q: list, paired: bool):
+        """Dispatch a staged queue to the device; overridden by the mesh
+        engine (same staging/retire protocol, different device step)."""
+        step = self._get_step(shard, paired)
+        if len(q) == 1:
+            _, bases, lengths, rv = q[0]
+            self.states[shard], keep, stats, tallies = step.step(
+                self.states[shard], bases, lengths, rv
+            )
+        else:
+            bs = np.stack([x[1] for x in q])
+            ls = np.stack([x[2] for x in q])
+            rs = np.stack([x[3] for x in q])
+            self.states[shard], keep, stats, tallies = step.step_many(
+                self.states[shard], bs, ls, rs
+            )
+        return keep, stats, tallies
 
     def _retire_group(self, batches, shard, keep_dev, stats_dev,
-                      tallies_dev) -> int:
+                      tallies_dev, rec_valids) -> int:
         """Retire one dispatch: a single batch, or a step_many group whose
         outputs carry a leading G axis."""
         if len(batches) == 1:
             return self._retire(batches[0], shard, keep_dev, stats_dev,
-                                tallies_dev)
+                                tallies_dev, rec_valids[0])
         from nomalise_kmers_multi_large_tpu.engine.step import (
             ReadTallies,
             StepStats,
@@ -457,10 +545,12 @@ class Normalizer:
                 b, shard, keep[g],
                 StepStats(proc[g], printed[g], skipped[g]),
                 ReadTallies(high[g], total[g]),
+                rec_valids[g],
             )
         return done
 
-    def _retire(self, batch, shard, keep_dev, stats_dev, tallies_dev) -> int:
+    def _retire(self, batch, shard, keep_dev, stats_dev, tallies_dev,
+                rec_valid=None) -> int:
         with self.timer.stage("device_wait"):
             keep = np.asarray(keep_dev)
         with self.timer.stage("write"):
@@ -517,6 +607,23 @@ class Normalizer:
                     f"High ({d}) count kmers: F:{h}, Total kmers: F:{t} "
                     f"High count ratio: F:{r:.2f}"
                 )
+
+    def _rebuild_tables_from_states(self):
+        """After resume, table descriptors must match the (possibly grown)
+        checkpointed state shapes."""
+        from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
+        from nomalise_kmers_multi_large_tpu.table.hashed import HashedTable
+
+        for s, st in enumerate(self.states):
+            t = self.tables[s]
+            if isinstance(t, BucketTable) and st.keys is not None \
+                    and st.keys.shape[0] != t.rows:
+                self.tables[s] = BucketTable(
+                    t.k, rows=int(st.keys.shape[0]),
+                    interpret=t.interpret, tile_rows=t.tile_rows)
+            elif isinstance(t, HashedTable) \
+                    and st.counts.shape[0] != t.capacity:
+                self.tables[s] = HashedTable(t.k, int(st.counts.shape[0]))
 
     def _debug_roundtrip(self, bases, lengths):
         """--debug >= 3 inline self-check (reference nk.c:950-960, 976-991):

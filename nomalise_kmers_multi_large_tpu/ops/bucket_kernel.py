@@ -90,8 +90,9 @@ def _onehot(cond):
 
 
 def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
+            seed: bool, ablate: frozenset,
             # prefetch
-            step_tile, step_chunk, step_active, seed_ref,
+            step_tile, step_chunk, step_active,
             # inputs
             p1_ref, p2_ref, p3_ref, fp_in_ref, cnt_in_ref,
             # outputs
@@ -121,7 +122,6 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         cnt_out_ref[:] = cnt_in_ref[:]
         delta_ref[:] = jnp.zeros_like(delta_ref)
 
-    seed = seed_ref[0] != 0
     subs = chunk // SUB
     R = tile_rows
     fmask = jnp.int32((1 << fp_bits) - 1)
@@ -130,7 +130,6 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
     # outside [0, R) so no vector op needs the scalar flag (mixing scalar
     # bools into vector masks trips Mosaic relayouts)
     tile_eff = jnp.where(active, tile, -2)
-    dmul = jnp.where(seed, 0.0, 1.0).astype(jnp.bfloat16)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, SUB), 0)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0)
@@ -203,24 +202,41 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         def _do_a(args, i=i):
             delta_acc, rec_acc, n_unmatched = args
             C, fpv1, rank, rid, cand, valid = decode_sub(i)
-            G = mm_00(planes, C)                     # (384|512, SUB) f32 exact
-            row_fp = G[0:LANES] * 256.0 + G[LANES:2 * LANES]    # (L, SUB)
-            if one_limb:
-                row_cnt = G[2 * LANES:3 * LANES]
+            if "no_gather" in ablate:
+                row_fp = jnp.zeros((LANES, SUB), jnp.float32)
+                row_cnt = row_fp
             else:
-                row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
-            fpv1_f = fpv1.astype(jnp.float32)        # (1, SUB)
-            match = (row_fp == fpv1_f).astype(jnp.float32)      # (L, SUB)
-            # single sublane-reduction recovers BOTH is_match and prior:
-            # counts are clamped below `offset`, and prior + offset < 2^24
-            # is f32-exact
-            mboth = jnp.sum(match * (row_cnt + offset), axis=0, keepdims=True)
-            is_match = jnp.where(mboth >= offset, 1.0, 0.0)     # (1, SUB)
-            prior = mboth - is_match * offset
+                G = mm_00(planes, C)                 # (384|512, SUB) f32 exact
+                row_fp = G[0:LANES] * 256.0 + G[LANES:2 * LANES]  # (L, SUB)
+                if one_limb:
+                    row_cnt = G[2 * LANES:3 * LANES]
+                else:
+                    row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
+            if "no_match" in ablate:
+                match = jnp.zeros((LANES, SUB), jnp.float32)
+                is_match = jnp.ones((1, SUB), jnp.float32)
+                prior = jnp.zeros((1, SUB), jnp.float32)
+            else:
+                fpv1_f = fpv1.astype(jnp.float32)    # (1, SUB)
+                match = (row_fp == fpv1_f).astype(jnp.float32)  # (L, SUB)
+                # single sublane-reduction recovers BOTH is_match and prior:
+                # counts are clamped below `offset`, and prior + offset < 2^24
+                # is f32-exact
+                mboth = jnp.sum(
+                    match * (row_cnt + offset), axis=0, keepdims=True)
+                is_match = jnp.where(mboth >= offset, 1.0, 0.0)  # (1, SUB)
+                prior = mboth - is_match * offset
             ismatch_ref[i:i + 1, :] = is_match
             n_un = n_unmatched + jnp.sum(
                 jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
-            d_acc = delta_acc + mm_11(C * dmul, match.astype(jnp.bfloat16))
+            # seed mode (reference store_kmer do_init :962-963) never touches
+            # counts and needs no per-read tallies: both matmuls drop out of
+            # the compiled seed kernel entirely
+            d_acc = delta_acc
+            if not seed and "no_delta" not in ablate:
+                d_acc = delta_acc + mm_11(C, match.astype(jnp.bfloat16))
+            if seed or "no_recsum" in ablate:
+                return d_acc, rec_acc, n_un
             observed = prior + rank.astype(jnp.float32)
             high = _onehot((observed >= float(depth)) & valid)  # (1, SUB)
             rrow = jax.lax.shift_right_logical(rid, 7)
@@ -287,7 +303,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
                 f_lo = (fpv1 & 255).astype(jnp.bfloat16)
                 w2 = wrote + (mm_11(C, B_ins * f_hi) * 256.0
                               + mm_11(C, B_ins * f_lo))
-                d2 = delta_ins + mm_11(C * dmul, B_new)
+                d2 = delta_ins if seed else delta_ins + mm_11(C, B_new)
                 dr2 = dropped + jnp.sum(
                     jnp.where((is_match == 0.0) & valid & (rank == 1)
                               & ((cand >= LANES) | jnp.logical_not(fits)),
@@ -307,7 +323,8 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         n_unmatched > 0.0, _insert_path, _no_insert, None)
 
     # ---- counts delta (seed inserts carry count 0: reference store_kmer
-    # do_init path :962-963 — dmul zeroes both accs while seeding) ----
+    # do_init path :962-963 — the delta matmuls are compiled out while
+    # seeding, so both accumulators stay zero) ----
     delta_ref[:] += delta_acc + delta_ins
     fp_out_ref[:] = fp_out_ref[:] + wrote.astype(jnp.int32)
 
@@ -326,7 +343,7 @@ def bucket_batch(
     fp, counts, mixed_flat, valid_flat, *,
     k: int, rows: int, depth: int, windows_per_read: int,
     chunk: int = 16384, tile_rows: int = TILE_ROWS, seed: bool = False,
-    keyed: bool = False, interpret: bool = False,
+    keyed: bool = False, interpret: bool = False, ablate: tuple = (),
 ):
     """Run one batch through the bucket table.
 
@@ -432,28 +449,28 @@ def bucket_batch(
     step_chunkv = jnp.where(active, step_chunkv, last_chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sf: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sf: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sf: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa, sf: (st[s], 0),
+            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, LANES), lambda s, st, sc, sa, sf: (0, 0),
+            pl.BlockSpec((128, LANES), lambda s, st, sc, sa: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda s, st, sc, sa, sf: (0, 0),
+            pl.BlockSpec((8, 128), lambda s, st, sc, sa: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -463,7 +480,8 @@ def bucket_batch(
     )
 
     fp2, counts2, recsum, stats = pl.pallas_call(
-        partial(_kernel, fp_bits, depth, chunk, tile_rows),
+        partial(_kernel, fp_bits, depth, chunk, tile_rows, seed,
+                frozenset(ablate)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -471,14 +489,13 @@ def bucket_batch(
             jax.ShapeDtypeStruct((128, LANES), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
-        # tensor operand order: 4 prefetch + [p1, p2, p3, fp, counts]
-        input_output_aliases={7: 0, 8: 1},
+        # tensor operand order: 3 prefetch + [p1, p2, p3, fp, counts]
+        input_output_aliases={6: 0, 7: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         step_tilev, step_chunkv, active.astype(jnp.int32),
-        jnp.full((1,), 1 if seed else 0, jnp.int32),
         p1, p2, p3, fp, counts,
     )
 

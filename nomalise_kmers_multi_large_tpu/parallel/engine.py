@@ -11,10 +11,16 @@ Extends the single-device Normalizer to a device mesh:
   XLA GSPMD inserts the collectives. Single logical shard: thread-0 outputs,
   full-depth threshold, decisions identical to a single-device exact run.
 
-Batches are padded to a multiple of the device count with invalid records
-(length 0), which contribute nothing in exact mode.
+The streaming loop itself is the parent Normalizer's (_run): staging queues,
+--dispatch-group grouped dispatch, checkpoint/resume, -P dumps, debug record
+lines and growth-during-seed all come from there; this class only overrides
+the dispatch/retire/report hooks. Batches are padded to a multiple of the
+device count with invalid records (length 0), which contribute nothing in
+exact mode.
 """
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
@@ -29,27 +35,42 @@ class MeshNormalizer(Normalizer):
     def __init__(self, cfg: Config, n_devices: int = 0):
         import jax
 
-        import dataclasses
-
         ndev = n_devices or cfg.n_devices or jax.device_count()
         self.ndev = ndev
         self.mode_b = cfg.sharding == "global"
         if self.mode_b:
             eff = cfg if cfg.shards == 1 else dataclasses.replace(cfg, shards=1)
+            if eff.table_kind == "bucket":
+                # the bucket table's [rows, 128] state has no lane-shardable
+                # axis and its pallas_call cannot be GSPMD-partitioned; Mode B
+                # needs a slot-shardable table. Explicit --table bucket is a
+                # config error; auto falls back to the direct table, whose
+                # count array Mode B shards on the slot axis.
+                from nomalise_kmers_multi_large_tpu.config import ConfigError
+
+                if cfg.table == "bucket":
+                    raise ConfigError(
+                        "--sharding global does not support --table bucket; "
+                        "use --table direct (k<=15) or hashed, or keep "
+                        "--sharding local"
+                    )
+                eff = dataclasses.replace(
+                    eff, table="direct" if eff.ksize <= 15 else "hashed")
+                print(
+                    "NOTE: --sharding global uses the "
+                    f"{eff.table} table (the bucket table is local-mode only)"
+                )
         else:
             # Mode A: one shard per device (reference cpus -> devices)
             eff = cfg if cfg.shards == ndev else dataclasses.replace(cfg, shards=ndev)
-        if eff.checkpoint_every or eff.resume:
-            raise NotImplementedError(
-                "checkpointing is single-device only in this version"
-            )
         super().__init__(eff, _single_state=True)
         self.mesh = data_mesh(ndev)
         self._mode_steps: dict = {}
         self._stacked = None       # Mode A stacked states
         self._global_state = None  # Mode B state
+        self._resumed = False      # states hold per-shard checkpoint data
 
-    # ------------------------------------------------------------------
+    # -- device dispatch ------------------------------------------------
     def _mode_step(self, paired: bool):
         key = paired
         if key not in self._mode_steps:
@@ -69,99 +90,55 @@ class MeshNormalizer(Normalizer):
         return self._mode_steps[key]
 
     def _ensure_states(self, paired: bool):
-        """First use: move the (possibly seeded) shard-0 state onto the mesh —
-        Mode A replicates it to every device (reference copy_hash_table)."""
+        """First dispatch: move the seeded (or resumed) shard states onto the
+        mesh — Mode A replicates a fresh seed to every device (reference
+        copy_hash_table) or stacks per-shard checkpoint states."""
         ms = self._mode_step(paired)
         if self.mode_b:
             if self._global_state is None:
-                self._global_state = ms.init_state(self.states[0])
+                self._global_state = ms.stack_states(self.states) \
+                    if self._resumed else ms.init_state(self.states[0])
                 self.states = []
         else:
             if self._stacked is None:
-                self._stacked = ms.init_states(self.states[0])
+                self._stacked = ms.stack_states(self.states) \
+                    if self._resumed else ms.init_states(self.states[0])
                 self.states = []
 
-    # ------------------------------------------------------------------
-    def run(self):
-        """Streaming loop; reuses the parent's IO but dispatches to the mesh."""
-        import sys
+    def _queue_for(self, rr: int) -> int:
+        return 0  # one staging queue: every dispatch spans all devices
 
-        from nomalise_kmers_multi_large_tpu.io.reader import (
-            FastxFile,
-            batch_iterator,
-            paired_batch_iterator,
-        )
-        from nomalise_kmers_multi_large_tpu.io.writer import ShardWriter
+    def _maybe_grow(self, shard: int, inflow: int):
+        # growth is supported before the states move onto the mesh (the seed
+        # pass and TSV seeding); mid-stream growth of stacked states is not
+        if self._stacked is None and self._global_state is None and self.states:
+            super()._maybe_grow(shard, inflow)
 
-        cfg = self.cfg
-        self.seed()
-        self.writers = [ShardWriter(cfg, s) for s in range(cfg.shards)]
+    def _dispatch_queue(self, shard: int, q: list, paired: bool):
+        import jax.numpy as jnp
 
-        n_rev = len(cfg.reverse_files)
-        for fi, fpath in enumerate(cfg.forward_files):
-            paired = fi < n_rev
-            if paired:
-                print(
-                    f"Processing file pair {fi + 1} of {len(cfg.forward_files)}: "
-                    f"{fpath} and {cfg.reverse_files[fi]}"
-                )
-                fx = FastxFile(fpath, cfg.is_input_fastq)
-                rx = FastxFile(cfg.reverse_files[fi], cfg.is_input_fastq)
-                it = paired_batch_iterator(fx, rx, cfg.batch_reads)
-            else:
-                print(
-                    f"Processing single-ended file {fi + 1} of "
-                    f"{len(cfg.forward_files)}: {fpath}"
-                )
-                fx = FastxFile(fpath, cfg.is_input_fastq)
-                it = batch_iterator(fx, cfg.batch_reads)
-            sys.stdout.flush()
+        self._ensure_states(paired)
+        ms = self._mode_step(paired)
+        padded = [
+            self._pad_to_mesh(bases, lengths, rv, paired)
+            for (_, bases, lengths, rv) in q
+        ]
+        state = self._global_state if self.mode_b else self._stacked
+        if len(q) == 1:
+            b, ln, rv, _ = padded[0]
+            state, keep, stats, tallies = ms(
+                state, jnp.asarray(b), jnp.asarray(ln), jnp.asarray(rv))
+        else:
+            bs = np.stack([p[0] for p in padded])
+            ls = np.stack([p[1] for p in padded])
+            rs = np.stack([p[2] for p in padded])
+            state, keep, stats, tallies = ms.many(state, bs, ls, rs)
+        if self.mode_b:
+            self._global_state = state
+        else:
+            self._stacked = state
+        return keep, stats, tallies
 
-            pending = None
-            for batch in it:
-                self._ensure_states(paired)
-                import jax.numpy as jnp
-
-                bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
-                bases, lengths, rec_valid, b_real = self._pad_to_mesh(
-                    bases, lengths, rec_valid, paired
-                )
-                ms = self._mode_step(paired)
-                if self.mode_b:
-                    self._global_state, keep, stats, _ = ms(
-                        self._global_state, jnp.asarray(bases),
-                        jnp.asarray(lengths), jnp.asarray(rec_valid),
-                    )
-                else:
-                    self._stacked, keep, stats, _ = ms(
-                        self._stacked, jnp.asarray(bases),
-                        jnp.asarray(lengths), jnp.asarray(rec_valid),
-                    )
-                if pending is not None:
-                    self._retire_mesh(*pending)
-                pending = (batch, keep, b_real, rec_valid)
-            if pending is not None:
-                self._retire_mesh(*pending)
-
-            self._refresh_unique_counts_mesh()
-            self.report.absorb(self.counters)
-            print(
-                "Cumulative file statistics: "
-                f"Processed {self.report.total_processed:,}, "
-                f"Printed {self.report.total_printed:,}, "
-                f"Skipped {self.report.total_skipped:,}, "
-                f"Cumulative Max Unique Kmers in a thread: "
-                f"{self.report.max_total_kmers:,}"
-            )
-
-        for c in self.counters:
-            c.maybe_report(cfg.verbose, force=True)
-        for w in self.writers:
-            w.close()
-        self.report.final(paired=n_rev > 0)
-        return self.report
-
-    # ------------------------------------------------------------------
     def _pad_to_mesh(self, bases, lengths, rec_valid, paired):
         rpr = 2 if paired else 1
         b = rec_valid.shape[0]
@@ -177,56 +154,107 @@ class MeshNormalizer(Normalizer):
             )
         return bases, lengths, rec_valid, b
 
-    def _retire_mesh(self, batch, keep_dev, b_real, rec_valid):
-        keep = np.asarray(keep_dev)[:b_real]
-        valid = rec_valid[:b_real]
+    # -- retire ----------------------------------------------------------
+    def _retire(self, batch, shard, keep_dev, stats_dev, tallies_dev,
+                rec_valid=None) -> int:
+        from nomalise_kmers_multi_large_tpu.engine.step import ReadTallies
+
+        b_real = len(batch)
+        rpr = 2 if batch.rev is not None else 1
+        with self.timer.stage("device_wait"):
+            keep = np.asarray(keep_dev)[:b_real]
+            high = np.asarray(tallies_dev.high)
+            total = np.asarray(tallies_dev.total)
+        valid = rec_valid[:b_real] if rec_valid is not None else \
+            np.ones(b_real, bool)
+
         if self.mode_b:
-            self.writers[0].write_kept(batch, keep)
+            with self.timer.stage("write"):
+                self.writers[0].write_kept(batch, keep)
             c = self.counters[0]
+            prev = c.processed
             c.processed += int(valid.sum())
             c.printed += int(keep.sum())
             c.skipped += int(valid.sum() - keep.sum())
+            if self.cfg.debug > 1:
+                self._debug_records(
+                    batch, 0, keep, ReadTallies(high, total), prev)
+            if c.due():
+                self._refresh_unique_counts()
             c.maybe_report(self.cfg.verbose)
-            return
-        # Mode A: record b belongs to device b // (b_pad/ndev)
+            return b_real
+
+        # Mode A: record b of the padded batch belongs to device b // per
         b_pad = -(-b_real // self.ndev) * self.ndev
         per = b_pad // self.ndev
+        due = any(c.due() for c in self.counters)
+        if due:
+            self._refresh_unique_counts()
         for s in range(self.ndev):
             lo, hi = s * per, min((s + 1) * per, b_real)
             if lo >= b_real:
                 break
             sl = slice(lo, hi)
-            sl_keep = np.zeros(len(batch), bool)
+            sl_keep = np.zeros(b_real, bool)
             sl_keep[sl] = keep[sl]
-            self.writers[s].write_kept(batch, sl_keep)
+            with self.timer.stage("write"):
+                self.writers[s].write_kept(batch, sl_keep)
             c = self.counters[s]
+            prev = c.processed
             nv = int(valid[sl].sum())
             nk = int(keep[sl].sum())
             c.processed += nv
             c.printed += nk
             c.skipped += nv - nk
+            if self.cfg.debug > 1:
+                sub = self._slice_batch(batch, lo, hi)
+                self._debug_records(
+                    sub, s, keep[sl],
+                    ReadTallies(high[lo * rpr: hi * rpr],
+                                total[lo * rpr: hi * rpr]),
+                    prev,
+                )
             c.maybe_report(self.cfg.verbose)
+        return b_real
+
+    # -- state materialization (checkpoints, -P dumps, reports) ----------
+    def _install_resumed_states(self, states):
+        self.states = states
+        self._resumed = True
+
+    def _materialized_states(self) -> list:
+        import jax
+
+        if self.mode_b:
+            if self._global_state is None:
+                return self.states
+            return [self._global_state]
+        if self._stacked is None:
+            return self.states
+        return [
+            jax.tree.map(lambda x: x[s], self._stacked)
+            for s in range(self.ndev)
+        ]
+
+    def _states_for_checkpoint(self):
+        return self._materialized_states()
 
     def shard_state(self, s: int = 0):
-        import jax
+        states = self._materialized_states()
+        return states[s if not self.mode_b else 0]
 
-        if self.mode_b:
-            return self._global_state
-        return jax.tree.map(lambda x: x[s], self._stacked)
-
-    def _refresh_unique_counts_mesh(self):
-        import jax
-
-        if self.mode_b:
-            if self._global_state is not None:
-                self.counters[0].unique_kmers = self.tables[0].used_count(
-                    self._global_state, self.seeded_lo
-                )
-            return
-        if self._stacked is None:
-            return
-        for s in range(self.ndev):
-            local = jax.tree.map(lambda x: x[s], self._stacked)
+    def _refresh_unique_counts(self):
+        for s, state in enumerate(self._materialized_states()):
             self.counters[s].unique_kmers = self.tables[s].used_count(
-                local, self.seeded_lo
-            )
+                state, self.seeded_lo)
+            if state.overflow is not None:
+                self.counters[s].overflow = int(state.overflow)
+
+    def _dump_tables(self):
+        # the parent dump reads self.states
+        saved = self.states
+        self.states = self._materialized_states()
+        try:
+            super()._dump_tables()
+        finally:
+            self.states = saved

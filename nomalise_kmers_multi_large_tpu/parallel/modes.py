@@ -57,6 +57,18 @@ class ModeAStep:
 
         self._fn = jax.jit(_sharded, donate_argnums=(0,))
 
+        def _many(state, bs, ls, rs):
+            # G sequential mesh steps in ONE dispatch (engine/step.py
+            # step_many, lifted over the shard_map)
+            def body(st, xs):
+                st, keep, stats, tallies = _sharded(st, *xs)
+                return st, (keep, stats, tallies)
+
+            state, (keep, stats, tallies) = jax.lax.scan(body, state, (bs, ls, rs))
+            return state, keep, stats, tallies
+
+        self._fn_many = jax.jit(_many, donate_argnums=(0,))
+
     def init_states(self, base: TableState | None = None) -> TableState:
         """[S, ...]-stacked states, one per device. `base` (e.g. a seeded table,
         reference copy_hash_table :908-927) is replicated to every shard."""
@@ -67,6 +79,13 @@ class ModeAStep:
         sh = NamedSharding(self.mesh, P("data"))
         return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
 
+    def stack_states(self, states: list) -> TableState:
+        """Stack per-shard states (e.g. from a checkpoint) onto the mesh."""
+        assert len(states) == self.n
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        sh = NamedSharding(self.mesh, P("data"))
+        return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+
     def __call__(self, state, bases, lengths, rec_valid):
         sh = NamedSharding(self.mesh, P("data"))
         return self._fn(
@@ -74,6 +93,16 @@ class ModeAStep:
             jax.device_put(bases, sh),
             jax.device_put(lengths, sh),
             jax.device_put(rec_valid, sh),
+        )
+
+    def many(self, state, bs, ls, rs):
+        """Grouped dispatch: leading G axis on every operand."""
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return self._fn_many(
+            state,
+            jax.device_put(bs, sh),
+            jax.device_put(ls, sh),
+            jax.device_put(rs, sh),
         )
 
 
@@ -105,9 +134,27 @@ class ModeBStep:
 
         self._fn = jax.jit(_fn, donate_argnums=(0,))
 
+        def _many(state, bs, ls, rs):
+            def body(st, xs):
+                st, keep, stats, tallies = _fn(st, *xs)
+                return st, (keep, stats, tallies)
+
+            state, (keep, stats, tallies) = jax.lax.scan(body, state, (bs, ls, rs))
+            return state, keep, stats, tallies
+
+        self._fn_many = jax.jit(_many, donate_argnums=(0,))
+
     def init_state(self, base: TableState | None = None) -> TableState:
         state = base if base is not None else self.step.table.init()
         return jax.tree.map(lambda x: jax.device_put(x, self._spec(x)), state)
 
+    def stack_states(self, states: list) -> TableState:
+        """Mode B has one logical shard; install its checkpointed state."""
+        assert len(states) == 1
+        return self.init_state(states[0])
+
     def __call__(self, state, bases, lengths, rec_valid):
         return self._fn(state, bases, lengths, rec_valid)
+
+    def many(self, state, bs, ls, rs):
+        return self._fn_many(state, bs, ls, rs)

@@ -127,9 +127,11 @@ class BucketTable(CountTable):
     # ------------------------------------------------------------------
     #: engine grows when projected occupancy exceeds this fraction — early
     #: enough that no bucket row (Poisson-loaded via the bijective mix) comes
-    #: near its 128 lanes. Role of the reference's 0.8 load-factor trigger
-    #: (nk.c:143,933-934), which likewise grows BEFORE any insert can fail.
-    grow_headroom = 0.75
+    #: near its 128 lanes: at load 0.55 a row averages ~70 entries, ~7 sigma
+    #: from 128, so even 2^20-row tables stay drop-free. Role of the
+    #: reference's 0.8 load-factor trigger (nk.c:143,933-934), which likewise
+    #: grows BEFORE any insert can fail (0.75 measurably drops at ~16k slots).
+    grow_headroom = 0.55
 
     @property
     def can_grow(self) -> bool:
