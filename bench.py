@@ -1,9 +1,19 @@
 """Benchmark: k-mer count+filter throughput at k=15 on one chip (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured reads/s divided by the reference's published aggregate
-throughput (121,614 read pairs/s = 243,228 reads/s on 10 CPUs, README.md:78) —
-i.e. how many reference-10-CPU-machines one chip replaces.
+Line 1 (the headline the driver records): ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}. vs_baseline is measured reads/s
+divided by the reference's published aggregate throughput (121,614 read
+pairs/s = 243,228 reads/s on 10 CPUs, README.md:78) — i.e. how many
+reference-10-CPU-machines one chip replaces.
+
+Additional JSON lines after the headline:
+  - end-to-end host-ingest run: the REAL pipeline (generated FASTQ pair ->
+    mmap -> frame -> pack -> dispatch -> write) with the per-stage host
+    breakdown from the engine's StageTimer. NOTE: in this sandbox H2D rides a
+    ~66 MB/s loopback tunnel, so the e2e number reflects the tunnel, not
+    production PCIe; the per-stage ms expose that directly.
+  - host framing/packing rate of the native io/_fastx.c fast path alone
+    (no device), which is what must sustain ~3 GB/s at the 10M reads/s target.
 """
 from __future__ import annotations
 
@@ -90,8 +100,84 @@ def main():
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),
-    }))
+    }), flush=True)
+
+
+def _write_fastq(path, seqs, qual_char=b"I"):
+    rows = []
+    for i, s in enumerate(seqs):
+        rows.append(b"@r%d\n%s\n+\n%s\n" % (i, s, qual_char * len(s)))
+    with open(path, "wb") as f:
+        f.write(b"".join(rows))
+
+
+def main_e2e(n_pairs: int = 100_000):
+    """End-to-end ingest benchmark: real files through the real engine."""
+    import os
+    import tempfile
+
+    from nomalise_kmers_multi_large_tpu.config import Config
+    from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
+
+    rng = np.random.default_rng(1)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    # transcript-pool structure like the device bench
+    pool = bases[rng.integers(0, 4, size=(4096, READ_LEN))]
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    fwd, rev = os.path.join(tmp, "f.fastq"), os.path.join(tmp, "r.fastq")
+    seqs_f = [pool[j].tobytes() for j in rng.integers(0, 4096, n_pairs)]
+    seqs_r = [pool[j].tobytes() for j in rng.integers(0, 4096, n_pairs)]
+    _write_fastq(fwd, seqs_f)
+    _write_fastq(rev, seqs_r)
+    nbytes = os.path.getsize(fwd) + os.path.getsize(rev)
+
+    # batch_reads counts RECORDS (pairs): 8192 pairs = 16384 reads/batch,
+    # the same device shape as the headline bench
+    cfg = Config(forward_files=(fwd,), reverse_files=(rev,), ksize=K,
+                 depth=100, out_dir=tmp, batch_reads=BATCH_READS // 2,
+                 dispatch_group=4)
+    norm = Normalizer(cfg)
+    t0 = time.perf_counter()
+    report = norm.run()
+    wall = time.perf_counter() - t0
+    stages = {name: round(t * 1e3, 1) for name, t in
+              sorted(norm.timer.totals.items(), key=lambda kv: -kv[1])}
+    print(json.dumps({
+        "metric": "reads/s end-to-end (FASTQ files -> filtered FASTQ files, "
+                  "k=15 paired, includes jit compiles and sandbox H2D tunnel)",
+        "value": round(2 * n_pairs / wall),
+        "unit": "reads/s",
+        "input_mb": round(nbytes / 1e6, 1),
+        "processed": report.total_processed,
+        "printed": report.total_printed,
+        "stage_ms": stages,
+    }), flush=True)
+
+    # host-only framing+packing rate of the native fast path (io/_fastx.c)
+    from nomalise_kmers_multi_large_tpu.io.pack import pack_batch
+    from nomalise_kmers_multi_large_tpu.io.reader import (
+        FastxFile, batch_iterator,
+    )
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_rec = 0
+        fx = FastxFile(fwd, fastq=True)
+        for rb in batch_iterator(fx, BATCH_READS):
+            bases_h, lengths_h = pack_batch(
+                fx.data, rb.fwd.seq_start, rb.fwd.seq_len, READ_LEN, K)
+            n_rec += lengths_h.shape[0]
+        best = min(best, time.perf_counter() - t0)
+    gbs = os.path.getsize(fwd) / best / 1e9
+    print(json.dumps({
+        "metric": "host mmap+frame+pack rate, native _fastx path (single core)",
+        "value": round(gbs, 2),
+        "unit": "GB/s",
+        "reads_per_s": round(n_rec / best),
+    }), flush=True)
 
 
 if __name__ == "__main__":
     main()
+    main_e2e()

@@ -29,15 +29,18 @@ def sync(x):
     np.asarray(jax.device_get(leaf.ravel()[0:1]))
 
 
-def timeit(fn, *args, iters=8, rounds=5, warmup=2):
+def timeit(fn, fp, cnt, m, v, iters=8, rounds=5, warmup=2):
+    # the step donates (fp, counts): chain them like the engine does
     for _ in range(warmup):
-        out = fn(*args)
+        out = fn(fp, cnt, m, v)
+        fp, cnt = out.fp, out.counts
     sync(out)
     meds = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
+            out = fn(fp, cnt, m, v)
+            fp, cnt = out.fp, out.counts
         sync(out)
         meds.append((time.perf_counter() - t0) / iters)
     return min(meds)

@@ -170,10 +170,16 @@ def main(argv=None) -> int:
     if cfg.table_kind == "direct":
         cap, bytes_per_slot = 4 ** cfg.ksize, 4
     elif cfg.table_kind == "bucket":
-        from nomalise_kmers_multi_large_tpu.table.bucket import LANES, default_rows
+        from nomalise_kmers_multi_large_tpu.table.bucket import (
+            LANES, default_rows, default_rows_wide,
+        )
 
         mem = cfg.memory_gb * (1 << 30) if cfg.memory_gb else None
-        cap, bytes_per_slot = default_rows(cfg.ksize, mem) * LANES, 8
+        if cfg.ksize > 15:
+            cap = default_rows_wide(cfg.ksize, mem) * LANES
+            bytes_per_slot = 12 if cfg.ksize > 16 else 8
+        else:
+            cap, bytes_per_slot = default_rows(cfg.ksize, mem) * LANES, 8
     else:
         cap, bytes_per_slot = cfg.initial_hash_capacity, 12
     print(

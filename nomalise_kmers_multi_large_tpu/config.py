@@ -119,19 +119,20 @@ class Config:
     def table_kind(self) -> str:
         if self.table != "auto":
             return self.table
-        if self.ksize > 15:
-            return "hashed"
         if self.depth_per_shard > 65535:
             # the bucket kernel's count limbs clamp at 65535 (lossless only
-            # when depth fits); auto falls back to the exact direct table
-            return "direct"
+            # when depth fits); auto falls back to an unclamped exact table
+            return "direct" if self.ksize <= 15 else "hashed"
         # bucket = the production Pallas path (fused MXU kernel, compact
-        # state, ~8x the direct table's throughput on TPU). On the CPU
-        # backend Pallas runs in interpret mode (orders of magnitude slower),
-        # so auto keeps the XLA direct table there (4^k int32 slots, k<=15).
+        # state, ~8x the direct table's throughput on TPU); k > 15 uses the
+        # wide two-plane variant. On the CPU backend Pallas runs in interpret
+        # mode (orders of magnitude slower), so auto keeps the XLA tables
+        # there (direct for k<=15, hashed above).
         import jax
 
-        return "bucket" if jax.default_backend() != "cpu" else "direct"
+        if jax.default_backend() != "cpu":
+            return "bucket"
+        return "direct" if self.ksize <= 15 else "hashed"
 
     @property
     def direct_capacity(self) -> int:
@@ -199,8 +200,6 @@ class Config:
             )
         if self.table == "direct" and self.ksize > 15:
             raise ConfigError("direct table supports k<=15 (4^k int32 slots); use hashed")
-        if self.table == "bucket" and self.ksize > 15:
-            raise ConfigError("bucket table supports k<=15; use hashed for larger k")
         if self.table == "bucket" and self.depth_per_shard > 65535:
             # the reference validates depth up front (nk.c:734); the bucket
             # kernel's 2x8-bit count limbs are exact only for depth <= 65535

@@ -618,7 +618,7 @@ class Normalizer:
             t = self.tables[s]
             if isinstance(t, BucketTable) and st.keys is not None \
                     and st.keys.shape[0] != t.rows:
-                self.tables[s] = BucketTable(
+                self.tables[s] = type(t)(
                     t.k, rows=int(st.keys.shape[0]),
                     interpret=t.interpret, tile_rows=t.tile_rows)
             elif isinstance(t, HashedTable) \
@@ -666,17 +666,32 @@ class Normalizer:
                     f"{(int(vhi[i]) << 32) | int(vlo[i])}"
                 )
         if isinstance(self.tables[0], BucketTable) and cfg.stride == 1:
-            from nomalise_kmers_multi_large_tpu.ops.encode_kernel import encode_keys
-            from nomalise_kmers_multi_large_tpu.ops.mix import mix32_np
-
-            key = np.asarray(
-                encode_keys(
-                    jnp.asarray(bases), jnp.asarray(lengths), k, cfg.canonical,
-                    interpret=self.tables[0].interpret,
-                )
+            from nomalise_kmers_multi_large_tpu.ops.encode_kernel import (
+                encode_keys, encode_keys_wide,
             )
-            expect = np.full(key.shape, 0xFFFFFFFF, np.uint32)
-            expect[valid] = mix32_np(lo[valid], 2 * k)
+            from nomalise_kmers_multi_large_tpu.ops.mix import (
+                feistel_words_np, mix32_np,
+            )
+
+            if self.tables[0].wide:
+                w1, w2 = encode_keys_wide(
+                    jnp.asarray(bases), jnp.asarray(lengths), k,
+                    cfg.canonical, interpret=self.tables[0].interpret)
+                key = np.asarray(w1).astype(np.uint64) << np.uint64(32)
+                key |= np.asarray(w2)
+                code = (hi.astype(np.uint64) << np.uint64(32)) | lo
+                e1, e2 = feistel_words_np(code[valid], 2 * k)
+                expect = np.full(key.shape, 0xFFFFFFFFFFFFFFFF, np.uint64)
+                expect[valid] = (e1.astype(np.uint64) << np.uint64(32)) | e2
+            else:
+                key = np.asarray(
+                    encode_keys(
+                        jnp.asarray(bases), jnp.asarray(lengths), k,
+                        cfg.canonical, interpret=self.tables[0].interpret,
+                    )
+                )
+                expect = np.full(key.shape, 0xFFFFFFFF, np.uint32)
+                expect[valid] = mix32_np(lo[valid], 2 * k)
             if (key != expect).any():
                 r, w = np.argwhere(key != expect)[0]
                 raise SystemExit(

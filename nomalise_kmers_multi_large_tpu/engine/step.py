@@ -111,6 +111,19 @@ class BatchStep:
             interpret=getattr(self.table, "interpret", False),
         )
 
+    def _encode_keys_wide(self, bases, lengths):
+        """Fused wide encode (k = 16..31): two Feistel sort words per window;
+        the sentinel PAIR marks invalid windows, and a real w2 is never
+        0xFFFFFFFF, so validity is ``w2 != 0xFFFFFFFF``."""
+        from nomalise_kmers_multi_large_tpu.ops.encode_kernel import (
+            encode_keys_wide,
+        )
+
+        return encode_keys_wide(
+            bases, lengths, self.k, self.canonical,
+            interpret=getattr(self.table, "interpret", False),
+        )
+
     def _relaxed_ranks(self, hi, lo, valid, reads_per_record: int):
         """Pair-local ranks without a global sort.
 
@@ -157,14 +170,23 @@ class BatchStep:
             # aggregation in the bucket kernel; semantics are EXACT
             # (reference-sequential) for any batch size regardless of
             # self.mode (ops/bucket_kernel.py)
-            key = self._encode_mixed(bases, lengths)
-            state, out = self.table.process_batch_mixed(
-                state, key, None, depth=self.depth,
-                windows_per_read=key.shape[1], keyed=True,
-            )
+            if self.table.wide:
+                w1, w2 = self._encode_keys_wide(bases, lengths)
+                state, out = self.table.process_batch_keys(
+                    state, w1, w2, None, depth=self.depth,
+                    windows_per_read=w1.shape[1], keyed=True,
+                )
+                valid_key = w2
+            else:
+                key = self._encode_mixed(bases, lengths)
+                state, out = self.table.process_batch_mixed(
+                    state, key, None, depth=self.depth,
+                    windows_per_read=key.shape[1], keyed=True,
+                )
+                valid_key = key
             high_per_read = out.high_per_read[:R]
             total_per_read = jnp.sum(
-                key != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
+                valid_key != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
             return self._classify(
                 state, high_per_read, total_per_read, rec_valid
             )
@@ -174,8 +196,9 @@ class BatchStep:
         n = R * W
 
         if isinstance(self.table, BucketTable):
+            kw = {"hi": hi} if self.table.wide else {}
             state, out = self.table.process_batch(
-                state, lo, valid, depth=self.depth, windows_per_read=W
+                state, lo, valid, depth=self.depth, windows_per_read=W, **kw
             )
             high_per_read = out.high_per_read[:R]
             total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
@@ -244,20 +267,28 @@ class BatchStep:
         from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
 
         if isinstance(self.table, BucketTable) and self.stride == 1:
-            key = self._encode_mixed(bases, lengths)
-            state, _ = self.table.process_batch_mixed(
-                state, key, None, depth=self.depth,
-                windows_per_read=key.shape[1], seed=True, keyed=True
-            )
+            if self.table.wide:
+                w1, w2 = self._encode_keys_wide(bases, lengths)
+                state, _ = self.table.process_batch_keys(
+                    state, w1, w2, None, depth=self.depth,
+                    windows_per_read=w1.shape[1], seed=True, keyed=True
+                )
+            else:
+                key = self._encode_mixed(bases, lengths)
+                state, _ = self.table.process_batch_mixed(
+                    state, key, None, depth=self.depth,
+                    windows_per_read=key.shape[1], seed=True, keyed=True
+                )
             return state
 
         hi, lo, valid = self._encode(bases, lengths)
         n = R * hi.shape[1]
 
         if isinstance(self.table, BucketTable):
+            kw = {"hi": hi} if self.table.wide else {}
             state, _ = self.table.process_batch(
                 state, lo, valid, depth=self.depth,
-                windows_per_read=hi.shape[1], seed=True
+                windows_per_read=hi.shape[1], seed=True, **kw
             )
             return state
 

@@ -90,7 +90,7 @@ def _onehot(cond):
 
 
 def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
-            seed: bool, ablate: frozenset,
+            lanes: int, seed: bool, ablate: frozenset,
             # prefetch
             step_tile, step_chunk, step_active,
             # inputs
@@ -132,7 +132,8 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
     tile_eff = jnp.where(active, tile, -2)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, SUB), 0)
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (lanes, SUB), 0)
+    li128 = jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0)
 
     def sub_out_of_tile(i):
         """Scalar predicate: sub-slice i has NO element in this step's tile.
@@ -194,8 +195,8 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         limbs.append((cntt & 255).astype(jnp.bfloat16))
     planes = jnp.concatenate(limbs, axis=1)          # (R, 384|512)
 
-    delta_acc = jnp.zeros((R, LANES), jnp.float32)
-    rec_acc = jnp.zeros((128, LANES), jnp.float32)
+    delta_acc = jnp.zeros((R, lanes), jnp.float32)
+    rec_acc = jnp.zeros((128, 128), jnp.float32)
     n_unmatched = jnp.zeros((), jnp.float32)
 
     for i in range(subs):
@@ -203,17 +204,17 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             delta_acc, rec_acc, n_unmatched = args
             C, fpv1, rank, rid, cand, valid = decode_sub(i)
             if "no_gather" in ablate:
-                row_fp = jnp.zeros((LANES, SUB), jnp.float32)
+                row_fp = jnp.zeros((lanes, SUB), jnp.float32)
                 row_cnt = row_fp
             else:
                 G = mm_00(planes, C)                 # (384|512, SUB) f32 exact
-                row_fp = G[0:LANES] * 256.0 + G[LANES:2 * LANES]  # (L, SUB)
+                row_fp = G[0:lanes] * 256.0 + G[lanes:2 * lanes]  # (L, SUB)
                 if one_limb:
-                    row_cnt = G[2 * LANES:3 * LANES]
+                    row_cnt = G[2 * lanes:3 * lanes]
                 else:
-                    row_cnt = G[2 * LANES:3 * LANES] * 256.0 + G[3 * LANES:]
+                    row_cnt = G[2 * lanes:3 * lanes] * 256.0 + G[3 * lanes:]
             if "no_match" in ablate:
-                match = jnp.zeros((LANES, SUB), jnp.float32)
+                match = jnp.zeros((lanes, SUB), jnp.float32)
                 is_match = jnp.ones((1, SUB), jnp.float32)
                 prior = jnp.zeros((1, SUB), jnp.float32)
             else:
@@ -241,8 +242,8 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             high = _onehot((observed >= float(depth)) & valid)  # (1, SUB)
             rrow = jax.lax.shift_right_logical(rid, 7)
             rcol = jnp.bitwise_and(rid, 127)
-            Ar = _onehot(rrow == l_iota)             # (128, SUB) read-row
-            Brh = _onehot(rcol == l_iota) * high     # (128, SUB) read-col
+            Ar = _onehot(rrow == li128)              # (128, SUB) read-row
+            Brh = _onehot(rcol == li128) * high      # (128, SUB) read-col
             return d_acc, rec_acc + mm_11(Ar, Brh), n_un
 
         delta_acc, rec_acc, n_unmatched = jax.lax.cond(
@@ -258,29 +259,29 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         # candidate j of row r gets lane occ[r] + (# inserting candidates
         # j' < j), via one (R,L) lane-prefix scan + transposed lookups.
         occ = jnp.sum(jnp.where(fpt != 0, 1.0, 0.0), axis=1, keepdims=True)
-        cnew = jnp.zeros((R, LANES), jnp.float32)
+        cnew = jnp.zeros((R, lanes), jnp.float32)
         for i in range(subs):
             def _do_b1(cnew, i=i):
                 C, fpv1, rank, rid, cand, valid = decode_sub(i)
                 is_match = ismatch_ref[i:i + 1, :]
                 insert = ((is_match == 0.0) & (rank == 1) & valid
-                          & (cand < LANES))
+                          & (cand < lanes))
                 B_cand = _onehot(cand == l_iota)     # (L, SUB)
                 return cnew + mm_11(C * _onehot(insert), B_cand)
 
             cnew = jax.lax.cond(
                 sub_out_of_tile(i), lambda cnew: cnew, _do_b1, cnew)
         # exclusive prefix along lanes via Hillis-Steele log-doubling
-        tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, lanes), 1)
         inc = cnew
         shift = 1
-        while shift < LANES:
+        while shift < lanes:
             rolled = pltpu.roll(inc, shift, 1)   # rolled[:, j] = inc[:, j-shift]
             inc = inc + jnp.where(tl_iota >= shift, rolled, 0.0)
             shift *= 2
         M = (occ + (inc - cnew)).astype(jnp.bfloat16)   # (R, L): lane of cand j
-        wrote = jnp.zeros((R, LANES), jnp.float32)
-        delta_ins = jnp.zeros((R, LANES), jnp.float32)
+        wrote = jnp.zeros((R, lanes), jnp.float32)
+        delta_ins = jnp.zeros((R, lanes), jnp.float32)
         dropped = jnp.zeros((), jnp.float32)
         for i in range(subs):
             def _do_b2(args, i=i):
@@ -291,12 +292,12 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
                 ML = mm_00(M, C)                     # (L, SUB): M[row(e), :]
                 lane_new = jnp.sum(ML * B_cand.astype(jnp.float32),
                                    axis=0, keepdims=True)       # (1, SUB)
-                fits = lane_new < float(LANES)
-                unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
+                fits = lane_new < float(lanes)
+                unmatched = (is_match == 0.0) & valid & (cand < lanes) & fits
                 B_new = _onehot(
                     (lane_new == l_iota.astype(jnp.float32)) & unmatched)
                 insert = ((is_match == 0.0) & (rank == 1) & valid
-                          & (cand < LANES))
+                          & (cand < lanes))
                 ins_f = _onehot(insert)
                 B_ins = B_new * ins_f                # one writer per (r, l)
                 f_hi = (fpv1 >> 8).astype(jnp.bfloat16)  # <= 256: bf16-exact
@@ -306,7 +307,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
                 d2 = delta_ins if seed else delta_ins + mm_11(C, B_new)
                 dr2 = dropped + jnp.sum(
                     jnp.where((is_match == 0.0) & valid & (rank == 1)
-                              & ((cand >= LANES) | jnp.logical_not(fits)),
+                              & ((cand >= lanes) | jnp.logical_not(fits)),
                               1.0, 0.0))
                 return w2, d2, dr2
 
@@ -316,7 +317,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         return wrote, delta_ins, dropped
 
     def _no_insert(_):
-        z = jnp.zeros((R, LANES), jnp.float32)
+        z = jnp.zeros((R, lanes), jnp.float32)
         return z, z, jnp.zeros((), jnp.float32)
 
     wrote, delta_ins, dropped = jax.lax.cond(
@@ -342,7 +343,8 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
 def bucket_batch(
     fp, counts, mixed_flat, valid_flat, *,
     k: int, rows: int, depth: int, windows_per_read: int,
-    chunk: int = 16384, tile_rows: int = TILE_ROWS, seed: bool = False,
+    chunk: int = 16384, tile_rows: int = TILE_ROWS, lanes: int = LANES,
+    seed: bool = False,
     keyed: bool = False, interpret: bool = False, ablate: tuple = (),
 ):
     """Run one batch through the bucket table.
@@ -458,35 +460,35 @@ def bucket_batch(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, LANES), lambda s, st, sc, sa: (0, 0),
+            pl.BlockSpec((128, 128), lambda s, st, sc, sa: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda s, st, sc, sa: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, lanes), jnp.float32),
             pltpu.VMEM((subs, SUB), jnp.float32),
         ],
     )
 
     fp2, counts2, recsum, stats = pl.pallas_call(
-        partial(_kernel, fp_bits, depth, chunk, tile_rows, seed,
+        partial(_kernel, fp_bits, depth, chunk, tile_rows, lanes, seed,
                 frozenset(ablate)),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((128, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((rows, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((128, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         # tensor operand order: 3 prefetch + [p1, p2, p3, fp, counts]
@@ -503,3 +505,437 @@ def bucket_batch(
     overflow = stats.reshape(-1)[0].astype(jnp.int32)
     return BucketBatchOut(fp=fp2, counts=counts2, high_per_read=high_flat,
                           overflow=overflow)
+
+
+# ======================================================================
+# WIDE bucket kernel: exact k = 16..31 (codes up to 62 bits).
+#
+# The reference's hot loop serves k 5..31 with one code path
+# (normalise_kmers_multi_large.c:724, 1459-1499); the narrow kernel above is
+# hard-capped at 30-bit codes by its single 32-bit mixed word. This variant
+# carries the bijectively mixed b = 2k-bit value (ops/mix.py feistel_words) as
+# TWO uint32 sort words (w1 = top 32 bits, w2 = low b-32 bits):
+#
+#   bucket row   = w1 >> row_shift         (top rb bits; row_shift = 32 - rb)
+#   fingerprint  = (fpA, fpB) = (w1 & (2^row_shift - 1)) + 1, w2)
+#
+# and the table stores TWO fingerprint planes, fpA (0 = empty slot) and fpB.
+# All fingerprint traffic is 8-bit limbs: the gather contracts nA + nB limb
+# planes (each value < 256, bf16-exact), the match ANDs per-limb equalities
+# (f32-exact — a combined compare would exceed f32's 2^24 integer range for
+# b > 24-bit fingerprints), and inserts accumulate one f32 matmul per limb,
+# recombined in int32. Everything else — lane-major stream blocks, scalar-
+# prefetched (tile, chunk) grid, match-then-insert two-pass structure,
+# aggregated per-read tallies — matches the narrow kernel; the two are kept
+# separate so the narrow hot path keeps its cheaper single-compare match.
+#
+# Validity: the sentinel pair is (0xFFFFFFFF, 0xFFFFFFFF) and a real w2 is
+# always < 2^(b-32) <= 2^30 (for b = 32, real w2 is 0), so ``w2 != 0xFFFFFFFF``
+# is window validity. Unlike the narrow path, a sentinel's row (2^rb - 1)
+# aliases the last REAL tile, so `valid` is folded into the match one-hot
+# itself rather than relying on an out-of-range row.
+# ======================================================================
+
+
+class BucketBatchWideOut(NamedTuple):
+    fpA: jax.Array       # int32 [rows, 128] fingerprint plane A (+1; 0=empty)
+    fpB: jax.Array | None  # int32 [rows, 128] plane B (None when b == 32)
+    counts: jax.Array    # int32 [rows, 128]
+    high_per_read: jax.Array  # int32 [n_reads]
+    overflow: jax.Array  # int32 []
+
+
+def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
+                 tile_rows: int, seed: bool,
+                 # prefetch
+                 step_tile, step_chunk, step_active,
+                 *refs):
+    has_b = nB > 0
+    if has_b:
+        (p1_ref, pb_ref, p2_ref, p3_ref, fpA_in_ref, fpB_in_ref, cnt_in_ref,
+         fpA_out_ref, fpB_out_ref, cnt_out_ref, recsum_ref, stats_ref,
+         delta_ref, ismatch_ref) = refs
+    else:
+        (p1_ref, pb_ref, p2_ref, p3_ref, fpA_in_ref, cnt_in_ref,
+         fpA_out_ref, cnt_out_ref, recsum_ref, stats_ref,
+         delta_ref, ismatch_ref) = refs
+        fpB_in_ref = fpB_out_ref = None
+
+    s = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    tile = step_tile[s]
+    active = step_active[s] != 0
+    prev_tile = step_tile[jnp.maximum(s - 1, 0)]
+    next_tile = step_tile[jnp.minimum(s + 1, nsteps - 1)]
+    is_first = jnp.logical_or(s == 0, prev_tile != tile)
+    is_last = jnp.logical_or(s == nsteps - 1, next_tile != tile)
+
+    @pl.when(s == 0)
+    def _():
+        recsum_ref[:] = jnp.zeros_like(recsum_ref)
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    @pl.when(jnp.logical_and(is_first, active))
+    def _():
+        fpA_out_ref[:] = fpA_in_ref[:]
+        if has_b:
+            fpB_out_ref[:] = fpB_in_ref[:]
+        cnt_out_ref[:] = cnt_in_ref[:]
+        delta_ref[:] = jnp.zeros_like(delta_ref)
+
+    subs = chunk // SUB
+    R = tile_rows
+    maskA = jnp.int32((1 << row_shift) - 1)
+    tile_eff = jnp.where(active, tile, -2)
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, SUB), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0)
+
+    def sub_out_of_tile(i):
+        """Same fast-skip as the narrow kernel; sentinels map to the LAST row
+        (w1 = all-ones >> row_shift = 2^rb - 1), so they are only skipped via
+        `valid` below, never via row range."""
+        first_g = jax.lax.shift_right_logical(p1_ref[i, 0], row_shift)
+        last_g = jax.lax.shift_right_logical(p1_ref[i, SUB - 1], row_shift)
+        return jnp.logical_or(last_g < tile_eff * R,
+                              first_g >= (tile_eff + 1) * R)
+
+    mm = partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
+    mm_00 = lambda a, b: mm(a, b, (((0,), (0,)), ((), ())))
+    mm_11 = lambda a, b: mm(a, b, (((1,), (1,)), ((), ())))
+
+    def limb_f(x, j):
+        """f32 (1, SUB) 8-bit limb j of an int32 vector (values >= 0)."""
+        return ((x >> (8 * j)) & 255).astype(jnp.float32)
+
+    def decode_sub(i):
+        p1 = p1_ref[i:i + 1, :]                      # (1, SUB) w1 bits
+        pb = pb_ref[i:i + 1, :]                      # (1, SUB) w2 bits
+        p2 = pltpu.bitcast(p2_ref[i:i + 1, :], jnp.uint32)
+        cand = p3_ref[i:i + 1, :]
+        grow = jax.lax.shift_right_logical(
+            pltpu.bitcast(p1, jnp.uint32), jnp.uint32(row_shift)
+        ).astype(jnp.int32)
+        lrow = grow - tile_eff * R
+        fpvA = jnp.bitwise_and(p1, maskA) + 1        # 1 .. 2^row_shift
+        rank = jnp.bitwise_and(p2, jnp.uint32(0xFFFF)).astype(jnp.int32)
+        rid = jax.lax.shift_right_logical(p2, jnp.uint32(16)).astype(jnp.int32)
+        valid = (pb != -1) & (lrow >= 0) & (lrow < R)
+        C = _onehot((lrow == r_iota) & valid)        # (R, SUB)
+        return C, fpvA, pb, rank, rid, cand, valid
+
+    # ---- pass A: match path ----
+    one_limb = depth <= 255
+    nc = 1 if one_limb else 2
+    offset = 512.0 if one_limb else 131072.0
+    fpt = fpA_out_ref[:]
+    cntt = jnp.minimum(cnt_out_ref[:], 255 if one_limb else 65535)
+    limbs = [((fpt >> (8 * j)) & 255).astype(jnp.bfloat16) for j in range(nA)]
+    if has_b:
+        fpbt = fpB_out_ref[:]
+        limbs += [((fpbt >> (8 * j)) & 255).astype(jnp.bfloat16)
+                  for j in range(nB)]
+    if one_limb:
+        limbs.append(cntt.astype(jnp.bfloat16))
+    else:
+        limbs += [(cntt >> 8).astype(jnp.bfloat16),
+                  (cntt & 255).astype(jnp.bfloat16)]
+    planes = jnp.concatenate(limbs, axis=1)          # (R, (nA+nB+nc)*128)
+
+    delta_acc = jnp.zeros((R, LANES), jnp.float32)
+    rec_acc = jnp.zeros((128, LANES), jnp.float32)
+    n_unmatched = jnp.zeros((), jnp.float32)
+
+    for i in range(subs):
+        def _do_a(args, i=i):
+            delta_acc, rec_acc, n_unmatched = args
+            C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
+            G = mm_00(planes, C)                     # ((nA+nB+nc)*L, SUB)
+            matchb = G[0:LANES] == limb_f(fpvA, 0)
+            for j in range(1, nA):
+                matchb &= G[j * LANES:(j + 1) * LANES] == limb_f(fpvA, j)
+            for j in range(nB):
+                o = (nA + j) * LANES
+                matchb &= G[o:o + LANES] == limb_f(fpvB, j)
+            matchb &= valid                          # sentinel rows are REAL
+            match = jnp.where(matchb, 1.0, 0.0)      # (L, SUB) f32
+            co = (nA + nB) * LANES
+            if one_limb:
+                row_cnt = G[co:co + LANES]
+            else:
+                row_cnt = G[co:co + LANES] * 256.0 + G[co + LANES:]
+            mboth = jnp.sum(match * (row_cnt + offset), axis=0, keepdims=True)
+            is_match = jnp.where(mboth >= offset, 1.0, 0.0)
+            prior = mboth - is_match * offset
+            ismatch_ref[i:i + 1, :] = is_match
+            n_un = n_unmatched + jnp.sum(
+                jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
+            d_acc = delta_acc
+            if not seed:
+                d_acc = delta_acc + mm_11(C, match.astype(jnp.bfloat16))
+            if seed:
+                return d_acc, rec_acc, n_un
+            observed = prior + rank.astype(jnp.float32)
+            high = _onehot((observed >= float(depth)) & valid)
+            rrow = jax.lax.shift_right_logical(rid, 7)
+            rcol = jnp.bitwise_and(rid, 127)
+            Ar = _onehot(rrow == l_iota)
+            Brh = _onehot(rcol == l_iota) * high
+            return d_acc, rec_acc + mm_11(Ar, Brh), n_un
+
+        delta_acc, rec_acc, n_unmatched = jax.lax.cond(
+            sub_out_of_tile(i), lambda args: args, _do_a,
+            (delta_acc, rec_acc, n_unmatched))
+
+    recsum_ref[:] += rec_acc
+
+    # ---- pass B: insert resolution (skipped when every element matched) ----
+    nW = nA + nB  # fingerprint limb planes written per insert
+
+    def _insert_path(_):
+        occ = jnp.sum(jnp.where(fpt != 0, 1.0, 0.0), axis=1, keepdims=True)
+        cnew = jnp.zeros((R, LANES), jnp.float32)
+        for i in range(subs):
+            def _do_b1(cnew, i=i):
+                C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
+                is_match = ismatch_ref[i:i + 1, :]
+                insert = ((is_match == 0.0) & (rank == 1) & valid
+                          & (cand < LANES))
+                B_cand = _onehot(cand == l_iota)
+                return cnew + mm_11(C * _onehot(insert), B_cand)
+
+            cnew = jax.lax.cond(
+                sub_out_of_tile(i), lambda cnew: cnew, _do_b1, cnew)
+        tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        inc = cnew
+        shift = 1
+        while shift < LANES:
+            rolled = pltpu.roll(inc, shift, 1)
+            inc = inc + jnp.where(tl_iota >= shift, rolled, 0.0)
+            shift *= 2
+        M = (occ + (inc - cnew)).astype(jnp.bfloat16)
+        wrote = [jnp.zeros((R, LANES), jnp.float32) for _ in range(nW)]
+        delta_ins = jnp.zeros((R, LANES), jnp.float32)
+        dropped = jnp.zeros((), jnp.float32)
+        for i in range(subs):
+            def _do_b2(args, i=i):
+                *wrote, delta_ins, dropped = args
+                C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
+                is_match = ismatch_ref[i:i + 1, :]
+                B_cand = _onehot(cand == l_iota)
+                ML = mm_00(M, C)
+                lane_new = jnp.sum(ML * B_cand.astype(jnp.float32),
+                                   axis=0, keepdims=True)
+                fits = lane_new < float(LANES)
+                unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
+                B_new = _onehot(
+                    (lane_new == l_iota.astype(jnp.float32)) & unmatched)
+                insert = ((is_match == 0.0) & (rank == 1) & valid
+                          & (cand < LANES))
+                B_ins = B_new * _onehot(insert)      # one writer per (r, l)
+                w2 = []
+                for j in range(nW):
+                    src = fpvA if j < nA else fpvB
+                    lf = limb_f(src, j if j < nA else j - nA) \
+                        .astype(jnp.bfloat16)        # < 256: bf16-exact
+                    w2.append(wrote[j] + mm_11(C, B_ins * lf))
+                d2 = delta_ins if seed else delta_ins + mm_11(C, B_new)
+                dr2 = dropped + jnp.sum(
+                    jnp.where((is_match == 0.0) & valid & (rank == 1)
+                              & ((cand >= LANES) | jnp.logical_not(fits)),
+                              1.0, 0.0))
+                return (*w2, d2, dr2)
+
+            out = jax.lax.cond(
+                sub_out_of_tile(i), lambda args: args, _do_b2,
+                (*wrote, delta_ins, dropped))
+            *wrote, delta_ins, dropped = out
+        return (*wrote, delta_ins, dropped)
+
+    def _no_insert(_):
+        z = jnp.zeros((R, LANES), jnp.float32)
+        return (*[z] * nW, z, jnp.zeros((), jnp.float32))
+
+    out = jax.lax.cond(n_unmatched > 0.0, _insert_path, _no_insert, None)
+    *wrote, delta_ins, dropped = out
+
+    delta_ref[:] += delta_acc + delta_ins
+    # recombine per-limb f32 write accumulators in INT32 (fingerprints reach
+    # 2^30 — beyond f32's exact-integer range, so no f32 combine here)
+    wA = wrote[0].astype(jnp.int32)
+    for j in range(1, nA):
+        wA = wA + (wrote[j].astype(jnp.int32) << (8 * j))
+    fpA_out_ref[:] = fpA_out_ref[:] + wA
+    if has_b:
+        wB = wrote[nA].astype(jnp.int32)
+        for j in range(1, nB):
+            wB = wB + (wrote[nA + j].astype(jnp.int32) << (8 * j))
+        fpB_out_ref[:] = fpB_out_ref[:] + wB
+
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
+        + 128 * jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    stats_ref[:] += jnp.where(e_iota == 0, dropped, 0.0)
+
+    @pl.when(is_last)
+    def _():
+        cnt_out_ref[:] = cnt_out_ref[:] + delta_ref[:].astype(jnp.int32)
+        delta_ref[:] = jnp.zeros_like(delta_ref)
+
+
+def bucket_batch_wide(
+    fpA, fpB, counts, w1_flat, w2_flat, valid_flat, *,
+    k: int, rows: int, depth: int, windows_per_read: int,
+    chunk: int = 16384, tile_rows: int = TILE_ROWS, seed: bool = False,
+    keyed: bool = False, interpret: bool = False,
+):
+    """One batch through the WIDE bucket table (k = 16..31).
+
+    Args:
+      fpA, counts: int32 [rows, 128]; fpB int32 [rows, 128] or None (k == 16).
+      w1_flat, w2_flat: uint32 [N] Feistel sort words (ops/mix.py
+        feistel_words) in stream order.
+      keyed: words already carry the sentinel PAIR for invalid windows
+        (ops/encode_kernel.py encode_keys_wide); valid_flat ignored.
+
+    Returns BucketBatchWideOut.
+    """
+    n = w1_flat.shape[0]
+    w = windows_per_read
+    n_reads = n // w
+    assert n_reads * w == n
+    assert n_reads <= 16384
+    assert depth <= 65535
+    b = 2 * k
+    assert 32 <= b <= 62
+    rb = int(np.log2(rows))
+    assert rows == 1 << rb and rb >= 9, (
+        f"wide bucket table needs rows >= 512, got {rows}")
+    row_shift = 32 - rb                  # fpA bits; fpA value <= 2^row_shift
+    nA = (row_shift + 1 + 7) // 8        # 8-bit limbs covering fpA (+1 offset)
+    nB = (b - 32 + 7) // 8               # limbs covering fpB = w2
+    has_b = nB > 0
+    assert (fpB is not None) == has_b
+    tb = int(np.log2(tile_rows))
+    assert tile_rows == 1 << tb and 8 <= tile_rows <= rows
+    n_tiles = rows // tile_rows
+    subs = chunk // SUB
+    assert chunk == subs * SUB and subs % 8 == 0
+
+    quantum = max(chunk, _SCAN_BLOCK)
+    npad = -(-n // quantum) * quantum
+    pad = npad - n
+    n_chunks = npad // chunk
+    n_steps = n_chunks + n_tiles
+
+    if keyed:
+        k1, k2 = w1_flat, w2_flat
+    else:
+        k1 = jnp.where(valid_flat, w1_flat, _SENT)
+        k2 = jnp.where(valid_flat, w2_flat, _SENT)
+    if pad:
+        k1 = jnp.concatenate([k1, jnp.full((pad,), _SENT, jnp.uint32)])
+        k2 = jnp.concatenate([k2, jnp.full((pad,), _SENT, jnp.uint32)])
+    rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
+    # 3-key even for b == 32: w2 distinguishes the sentinel pair from the one
+    # REAL code whose w1 mixes to 0xFFFFFFFF, which a 2-key sort + w2
+    # reconstruction would silently drop
+    skey1, skey2, srid = jax.lax.sort(
+        (k1, k2, rid), num_keys=3, is_stable=False)
+
+    p2f, p3f = rank_cand_scan(skey1, srid, fp_bits=0, w=w, n_reads=n_reads,
+                              interpret=interpret, skey2=skey2,
+                              row_shift=row_shift)
+
+    p1 = jax.lax.bitcast_convert_type(skey1, jnp.int32).reshape(-1, SUB)
+    pb = jax.lax.bitcast_convert_type(skey2, jnp.int32).reshape(-1, SUB)
+    p2 = p2f.reshape(-1, SUB)
+    p3 = p3f.reshape(-1, SUB)
+
+    # step -> (tile, chunk) maps; sentinels map PAST the last tile so pad
+    # chunks get span 0 (their w1 row would alias the last real tile)
+    elem_tile = jnp.where(
+        skey2 == _SENT,
+        jnp.int32(n_tiles),
+        jax.lax.shift_right_logical(
+            skey1, jnp.uint32(row_shift + tb)).astype(jnp.int32))
+    first_t = elem_tile[0::chunk]
+    last_t = elem_tile[chunk - 1::chunk]
+    span = jnp.where(
+        first_t < n_tiles,
+        jnp.minimum(last_t, n_tiles - 1) - first_t + 1,
+        0,
+    )
+    span = span.at[0].set(jnp.maximum(span[0], 1))
+    first_t = first_t.at[0].set(jnp.minimum(first_t[0], n_tiles - 1))
+    cum = jnp.cumsum(span) - span
+    n_real = cum[-1] + span[-1]
+
+    s_iota = jnp.arange(n_steps, dtype=jnp.int32)
+    le = (cum[None, :] <= s_iota[:, None]) & (span[None, :] > 0)
+    step_chunkv = jnp.max(
+        jnp.where(le, jnp.arange(n_chunks, dtype=jnp.int32)[None, :], -1),
+        axis=1)
+    step_chunkv = jnp.maximum(step_chunkv, 0)
+    step_tilev = first_t[step_chunkv] + (s_iota - cum[step_chunkv])
+    active = s_iota < n_real
+    last_tile = step_tilev[jnp.maximum(n_real - 1, 0)]
+    last_chunk = step_chunkv[jnp.maximum(n_real - 1, 0)]
+    step_tilev = jnp.where(active, step_tilev, last_tile)
+    step_chunkv = jnp.where(active, step_chunkv, last_chunk)
+
+    stream_spec = pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
+                               memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((tile_rows, LANES),
+                             lambda s, st, sc, sa: (st[s], 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [stream_spec] * 4 + [tile_spec] * (3 if has_b else 2)
+    out_specs = [tile_spec] * (3 if has_b else 2) + [
+        pl.BlockSpec((128, LANES), lambda s, st, sc, sa: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda s, st, sc, sa: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] \
+        * (3 if has_b else 2) + [
+        jax.ShapeDtypeStruct((128, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((subs, SUB), jnp.float32),
+        ],
+    )
+
+    # tensor operand order: 3 prefetch + [p1, pb, p2, p3, fpA, (fpB), counts]
+    if has_b:
+        aliases = {7: 0, 8: 1, 9: 2}
+        operands = (p1, pb, p2, p3, fpA, fpB, counts)
+    else:
+        aliases = {7: 0, 8: 1}
+        operands = (p1, pb, p2, p3, fpA, counts)
+
+    outs = pl.pallas_call(
+        partial(_kernel_wide, row_shift, nA, nB, depth, chunk, tile_rows,
+                seed),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(step_tilev, step_chunkv, active.astype(jnp.int32), *operands)
+
+    if has_b:
+        fpA2, fpB2, counts2, recsum, stats = outs
+    else:
+        fpA2, counts2, recsum, stats = outs
+        fpB2 = None
+    high_flat = recsum.reshape(-1)[:n_reads].astype(jnp.int32)
+    overflow = stats.reshape(-1)[0].astype(jnp.int32)
+    return BucketBatchWideOut(fpA=fpA2, fpB=fpB2, counts=counts2,
+                              high_per_read=high_flat, overflow=overflow)

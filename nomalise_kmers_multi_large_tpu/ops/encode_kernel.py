@@ -28,10 +28,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nomalise_kmers_multi_large_tpu.ops.mix import _C1, _C2, _shifts, mix32_np
+from nomalise_kmers_multi_large_tpu.ops.mix import (
+    _C1, _C2, _CA, _CB, _CC, _shifts, mix32_np,
+)
 
 BLOCK_READS = 512
 _SENT = -1  # int32 bit pattern of the sort sentinel 0xFFFFFFFF
+_M31 = (1 << 31) - 1
+
+
+def _i32(c: int) -> int:
+    """int32 literal with the bit pattern of a uint32 constant."""
+    return c - (1 << 32) if c >= (1 << 31) else c
 
 
 def _mix_inline(x, bits: int):
@@ -74,6 +82,127 @@ def _kernel(k: int, canonical: bool, w: int, lp: int, mix0: int,
     # ~18 MB of HBM traffic per 16k-read batch; callers derive totals from
     # key != SENT)
     key_ref[:] = jnp.where(valid, mixed, _SENT)[:, :w]
+
+
+def _mix_inline32(x):
+    """Full-width 32-bit bijective mix (ops/mix.py mix32 with bits=32) on an
+    int32 register array."""
+    u = pltpu.bitcast(x, jnp.uint32)
+    u = u ^ (u >> jnp.uint32(16))
+    u = u * jnp.uint32(_C1 | 1)
+    u = u ^ (u >> jnp.uint32(13))
+    u = u * jnp.uint32(_C2 | 1)
+    u = u ^ (u >> jnp.uint32(16))
+    return pltpu.bitcast(u, jnp.int32)
+
+
+def _lshr(x, s: int):
+    """Logical (unsigned) right shift of an int32 register array."""
+    if s == 0:
+        return x
+    return pltpu.bitcast(
+        pltpu.bitcast(x, jnp.uint32) >> jnp.uint32(s), jnp.int32)
+
+
+def _kernel_wide(k: int, canonical: bool, w: int, lp: int,
+                 b_ref, w1_ref, w2_ref):
+    """Wide (k > 15) fused encode+mix: 62-bit window codes as two planes,
+    canonical min over the pair, the ops/mix.py Feistel inlined, sentinel
+    fold. Mirrors _kernel below; see encode_keys_wide."""
+    bts = b_ref[:].astype(jnp.int32)                 # (B, Lp)
+    b = 2 * k
+    hi = jnp.zeros_like(bts)
+    lo = jnp.zeros_like(bts)
+    for j in range(k):
+        col = bts if j == 0 else pltpu.roll(bts, lp - j, 1)
+        sh = 2 * (k - 1 - j)                         # even: never straddles
+        if sh >= 32:
+            hi = hi | (col << (sh - 32))
+        else:
+            lo = lo | (col << sh)
+    if canonical:
+        rhi = jnp.zeros_like(bts)
+        rlo = jnp.zeros_like(bts)
+        for j in range(k):
+            col = (bts if j == 0 else pltpu.roll(bts, lp - j, 1)) ^ 3
+            sh = 2 * j
+            if sh >= 32:
+                rhi = rhi | (col << (sh - 32))
+            else:
+                rlo = rlo | (col << sh)
+        hu = pltpu.bitcast(hi, jnp.uint32)
+        lu = pltpu.bitcast(lo, jnp.uint32)
+        rhu = pltpu.bitcast(rhi, jnp.uint32)
+        rlu = pltpu.bitcast(rlo, jnp.uint32)
+        take_rc = (rhu < hu) | ((rhi == hi) & (rlu < lu))
+        hi = jnp.where(take_rc, rhi, hi)
+        lo = jnp.where(take_rc, rlo, lo)
+
+    # ops/mix.py feistel_words, int32 register edition
+    if b == 32:
+        w1 = _mix_inline32(lo)
+        w2 = jnp.zeros_like(lo)
+    else:
+        mL = (1 << (b - 31)) - 1
+        R = ((hi << (63 - b)) | _lshr(lo, b - 31)) & _M31
+        L = lo & mL
+        R = R ^ (_mix_inline32(L ^ _i32(_CA)) & _M31)
+        L = L ^ (_mix_inline32(R ^ _i32(_CB)) & mL)
+        R = R ^ (_mix_inline32(L ^ _i32(_CC)) & _M31)
+        w1 = (R << 1) | _lshr(L, b - 32)
+        w2 = L & ((1 << (b - 32)) - 1)
+
+    length = bts[:, lp - 2:lp - 1] * 256 + bts[:, lp - 1:lp]     # (B, 1)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, bts.shape, 1)
+    valid = (w_iota <= (length - k)) & ((hi | lo) != 0)  # poly-A drop :1483
+    w1_ref[:] = jnp.where(valid, w1, _SENT)[:, :w]
+    w2_ref[:] = jnp.where(valid, w2, _SENT)[:, :w]
+
+
+def encode_keys_wide(bases: jax.Array, lengths: jax.Array, k: int,
+                     canonical: bool, interpret: bool = False):
+    """Sort words for all k-windows of every read, k in 16..31.
+
+    Like encode_keys, but the 2k-bit code is carried as two planes and mixed
+    with the ops/mix.py Feistel bijection. Returns (w1, w2) uint32 [R, W];
+    invalid windows hold the sentinel pair (0xFFFFFFFF, 0xFFFFFFFF) — a real
+    w2 is < 2^(2k-32), so ``w2 != 0xFFFFFFFF`` IS window validity.
+    """
+    assert 16 <= k <= 31
+    R, L = bases.shape
+    W = L - k + 1
+    lp = -(-(L + 2) // 128) * 128
+    lens = jnp.clip(lengths.astype(jnp.int32), 0, 1023)
+    tail = jnp.zeros((R, lp - L - 2), jnp.uint8) if lp - L - 2 else None
+    cols = [bases]
+    if tail is not None:
+        cols.append(tail)
+    cols.append((lens[:, None] >> 8).astype(jnp.uint8))
+    cols.append((lens[:, None] & 255).astype(jnp.uint8))
+    padded = jnp.concatenate(cols, axis=1)
+    br = min(BLOCK_READS, max(8, R))
+    rpad = -(-R // br) * br
+    if rpad != R:
+        padded = jnp.pad(padded, ((0, rpad - R), (0, 0)))
+    w1, w2 = pl.pallas_call(
+        partial(_kernel_wide, k, canonical, W, lp),
+        grid=(rpad // br,),
+        in_specs=[pl.BlockSpec((br, lp), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((br, W), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, W), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rpad, W), jnp.int32),
+            jax.ShapeDtypeStruct((rpad, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(padded)
+    if rpad != R:
+        w1, w2 = w1[:R], w2[:R]
+    return (jax.lax.bitcast_convert_type(w1, jnp.uint32),
+            jax.lax.bitcast_convert_type(w2, jnp.uint32))
 
 
 def encode_keys(bases: jax.Array, lengths: jax.Array, k: int, canonical: bool,

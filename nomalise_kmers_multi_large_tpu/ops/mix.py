@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["mix32", "unmix32_np", "mix32_np"]
+__all__ = ["mix32", "unmix32_np", "mix32_np",
+           "feistel_words", "feistel_words_np", "unfeistel_np"]
 
 # odd constants (from splitmix/murmur lineage), truncated per-width by masking
 _C1 = 0x7FEB352D
@@ -58,6 +59,75 @@ def mix32_np(x: np.ndarray, bits: int) -> np.ndarray:
     x = (x * np.uint64(_C2 | 1)) & mask
     x = (x ^ (x >> np.uint64(s3))) & mask
     return x.astype(np.uint32)
+
+
+# ----------------------------------------------------------------------
+# two-limb Feistel bijection for b = 2k-bit codes, k > 15 (b in 33..62).
+#
+# TPUs have no 64-bit integers, so wide codes are mixed as a 3-round
+# unbalanced Feistel over (R = top 31 bits, L = low b-31 bits) with mix32
+# round functions — bijective on the b-bit space by construction, and every
+# operation is a 32-bit shift/xor/multiply that vectorizes on the VPU. The
+# mixed value m = R'·2^(b-31) + L' is returned as SORT WORDS
+# (w1 = m >> (b-32), w2 = m's low b-32 bits): bucket row = w1 >> (32-rb),
+# fingerprint = (w1's low 32-rb bits, w2) — see ops/bucket_kernel.py.
+
+_CA, _CB, _CC = 0x243F6A88, 0x85A308D3, 0x13198A2E  # pi digits
+_M31 = (1 << 31) - 1
+
+
+def feistel_words(hi, lo, b: int):
+    """Device mix of (hi, lo) uint32 code planes (code < 2^b, 33 <= b <= 62).
+
+    Returns (w1, w2) uint32 sort words; ordering by (w1, w2) equals ordering
+    by the mixed b-bit value, and (w1, w2) = (0xFFFFFFFF, 0xFFFFFFFF) is
+    reserved (a real w2 is < 2^(b-32))."""
+    assert 32 <= b <= 62
+    hi = hi.astype(jnp.uint32)
+    lo = lo.astype(jnp.uint32)
+    if b == 32:  # k=16: the code fits one word; plain 32-bit mix, w2 = 0
+        return mix32(lo, 32), jnp.zeros_like(lo)
+    mL = jnp.uint32((1 << (b - 31)) - 1)
+    R = ((hi << jnp.uint32(63 - b)) | (lo >> jnp.uint32(b - 31))) & jnp.uint32(_M31)
+    L = lo & mL
+    R = R ^ (mix32(L ^ jnp.uint32(_CA), 32) & jnp.uint32(_M31))
+    L = L ^ (mix32(R ^ jnp.uint32(_CB), 32) & mL)
+    R = R ^ (mix32(L ^ jnp.uint32(_CC), 32) & jnp.uint32(_M31))
+    w1 = (R << jnp.uint32(1)) | (L >> jnp.uint32(b - 32))
+    w2 = L & jnp.uint32((1 << (b - 32)) - 1)
+    return w1, w2
+
+
+def feistel_words_np(code: np.ndarray, b: int):
+    """Host forward (numpy uint64 code < 2^b) -> (w1, w2) uint32."""
+    code = code.astype(np.uint64)
+    if b == 32:
+        w1 = mix32_np(code.astype(np.uint32), 32)
+        return w1, np.zeros_like(w1)
+    mL = np.uint64((1 << (b - 31)) - 1)
+    R = (code >> np.uint64(b - 31)).astype(np.uint32)
+    L = code & mL
+    R = R ^ (mix32_np((L.astype(np.uint32) ^ np.uint32(_CA)), 32) & np.uint32(_M31))
+    L = L ^ (mix32_np((R ^ np.uint32(_CB)), 32).astype(np.uint64) & mL)
+    R = R ^ (mix32_np((L.astype(np.uint32) ^ np.uint32(_CC)), 32) & np.uint32(_M31))
+    m = (R.astype(np.uint64) << np.uint64(b - 31)) | L
+    w1 = (m >> np.uint64(b - 32)).astype(np.uint32)
+    w2 = (m & np.uint64((1 << (b - 32)) - 1)).astype(np.uint32)
+    return w1, w2
+
+
+def unfeistel_np(w1: np.ndarray, w2: np.ndarray, b: int) -> np.ndarray:
+    """Host inverse: (w1, w2) sort words -> original b-bit code (uint64)."""
+    if b == 32:
+        return unmix32_np(w1, 32).astype(np.uint64)
+    m = (w1.astype(np.uint64) << np.uint64(b - 32)) | w2.astype(np.uint64)
+    mL = np.uint64((1 << (b - 31)) - 1)
+    R = (m >> np.uint64(b - 31)).astype(np.uint32)
+    L = m & mL
+    R = R ^ (mix32_np((L.astype(np.uint32) ^ np.uint32(_CC)), 32) & np.uint32(_M31))
+    L = L ^ (mix32_np((R ^ np.uint32(_CB)), 32).astype(np.uint64) & mL)
+    R = R ^ (mix32_np((L.astype(np.uint32) ^ np.uint32(_CA)), 32) & np.uint32(_M31))
+    return (R.astype(np.uint64) << np.uint64(b - 31)) | L
 
 
 def _inv_odd(c: int, bits: int) -> int:

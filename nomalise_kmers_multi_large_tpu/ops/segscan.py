@@ -67,8 +67,13 @@ def _two_level(vals, op, identity, carry):
     return out, new_carry
 
 
-def _kernel(fp_bits: int, n_reads: int,
-            key_ref, rid16_ref, p2_ref, p3_ref, carry_ref):
+def _kernel(row_shift: int, n_reads: int, wide: bool,
+            *refs):
+    if wide:
+        key_ref, key2_ref, rid16_ref, p2_ref, p3_ref, carry_ref = refs
+    else:
+        key_ref, rid16_ref, p2_ref, p3_ref, carry_ref = refs
+        key2_ref = None
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -77,6 +82,7 @@ def _kernel(fp_bits: int, n_reads: int,
         carry_ref[1] = 0            # cumsum(changed) so far
         carry_ref[2] = -1           # cummax(changed ? gidx : -1) so far
         carry_ref[3] = -1           # cummax(rchanged ? segidx : -1) so far
+        carry_ref[4] = 0            # prev block's last key2 bits
 
     key = key_ref[:]                                         # (S, L) int32 bits
     gidx = (s * BLOCK
@@ -85,17 +91,25 @@ def _kernel(fp_bits: int, n_reads: int,
 
     # previous element in row-major order: (s, l-1), or (s-1, L-1) for l == 0
     l_iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-    prev_lane = pltpu.roll(key, 1, 1)
-    prev_row_last = pltpu.roll(key[:, BLOCK_LANES - 1:BLOCK_LANES], 1, 0)
-    prev = jnp.where(l_iota == 0, prev_row_last, prev_lane)
+
+    def prev_of(x, carry_slot):
+        prev_lane = pltpu.roll(x, 1, 1)
+        prev_row_last = pltpu.roll(x[:, BLOCK_LANES - 1:BLOCK_LANES], 1, 0)
+        p = jnp.where(l_iota == 0, prev_row_last, prev_lane)
+        return jnp.where(gidx == s * BLOCK, carry_ref[carry_slot], p)
+
+    prev = prev_of(key, 0)
     first = gidx == 0
-    prev = jnp.where(gidx == s * BLOCK, carry_ref[0], prev)  # block boundary
 
     changed = (key != prev) | first
+    if wide:
+        key2 = key2_ref[:]
+        prev2 = prev_of(key2, 4)
+        changed = changed | (key2 != prev2)
     row = jax.lax.shift_right_logical(
-        pltpu.bitcast(key, jnp.uint32), jnp.uint32(fp_bits))
+        pltpu.bitcast(key, jnp.uint32), jnp.uint32(row_shift))
     prow = jax.lax.shift_right_logical(
-        pltpu.bitcast(prev, jnp.uint32), jnp.uint32(fp_bits))
+        pltpu.bitcast(prev, jnp.uint32), jnp.uint32(row_shift))
     rchanged = (row != prow) | first
 
     vmax = lambda a, b: jnp.maximum(a, b)
@@ -119,10 +133,13 @@ def _kernel(fp_bits: int, n_reads: int,
     carry_ref[1] = c_sum
     carry_ref[2] = c_head
     carry_ref[3] = c_row
+    if wide:
+        carry_ref[4] = key2[BLOCK_SUBLANES - 1, BLOCK_LANES - 1]
 
 
 def rank_cand_scan(skey: jax.Array, srid: jax.Array, *, fp_bits: int, w: int,
-                   n_reads: int, interpret: bool = False):
+                   n_reads: int, interpret: bool = False, skey2=None,
+                   row_shift: int = -1):
     """Compute (p2, p3) for the bucket kernel from the sorted key/rid streams.
 
     Args:
@@ -133,6 +150,10 @@ def rank_cand_scan(skey: jax.Array, srid: jax.Array, *, fp_bits: int, w: int,
       fp_bits: fingerprint bits (bucket row = skey >> fp_bits).
       w: windows per read (unused; kept for call-site symmetry);
       n_reads: reads in batch.
+      skey2: optional uint32 [N] second sorted word (wide k>15 path): a code
+        changes when EITHER word changes, and the row comes from skey via
+        `row_shift` instead of fp_bits.
+      row_shift: right-shift of skey that yields the bucket row (wide path).
 
     Returns:
       p2 int32 [N] = (read_id << 16) | rank(<=65535)
@@ -143,31 +164,28 @@ def rank_cand_scan(skey: jax.Array, srid: jax.Array, *, fp_bits: int, w: int,
     assert n % BLOCK == 0, f"pad stream to a multiple of {BLOCK}, got {n}"
     n_steps = n // BLOCK
     rid16 = jnp.minimum(srid, n_reads - 1) << 16
+    wide = skey2 is not None
+    shift = row_shift if wide else fp_bits
 
-    key2d = jax.lax.bitcast_convert_type(skey, jnp.int32).reshape(
-        n // BLOCK_LANES, BLOCK_LANES)
-    rid2d = rid16.reshape(n // BLOCK_LANES, BLOCK_LANES)
+    def blk(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32).reshape(
+            n // BLOCK_LANES, BLOCK_LANES)
+
+    spec = pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
+                        memory_space=pltpu.VMEM)
+    ins = [blk(skey)] + ([blk(skey2)] if wide else []) + [
+        rid16.reshape(n // BLOCK_LANES, BLOCK_LANES)]
 
     p2, p3 = pl.pallas_call(
-        partial(_kernel, fp_bits, n_reads),
+        partial(_kernel, shift, n_reads, wide),
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec] * len(ins),
+        out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct(key2d.shape, jnp.int32),
-            jax.ShapeDtypeStruct(key2d.shape, jnp.int32),
+            jax.ShapeDtypeStruct((n // BLOCK_LANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n // BLOCK_LANES, BLOCK_LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
         interpret=interpret,
-    )(key2d, rid2d)
+    )(*ins)
     return p2.reshape(n), p3.reshape(n)

@@ -23,10 +23,20 @@ def maybe_initialize() -> tuple[int, int]:
     """
     import jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
+    )
+    if addr:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if nproc is not None and pid is not None:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        else:
+            jax.distributed.initialize()  # pod auto-detection
     try:
         return jax.process_index(), jax.process_count()
     except RuntimeError:

@@ -29,9 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from nomalise_kmers_multi_large_tpu.ops.bucket_kernel import (
-    LANES, BucketBatchOut, bucket_batch,
+    LANES, BucketBatchOut, bucket_batch, bucket_batch_wide,
 )
-from nomalise_kmers_multi_large_tpu.ops.mix import mix32, unmix32_np
+from nomalise_kmers_multi_large_tpu.ops.mix import (
+    feistel_words, mix32, unfeistel_np, unmix32_np,
+)
 from nomalise_kmers_multi_large_tpu.table.base import CountTable, TableState
 
 
@@ -55,7 +57,50 @@ def default_rows(k: int, memory_bytes: Optional[int] = None) -> int:
     return min(max(rows, floor), ceiling)
 
 
+def _split_rows(keys, counts, fb: int, keys2):
+    """Row-doubling remap shared by the narrow and wide tables: the entry at
+    (r, fp) moves to row 2r + top_bit(fp) with fingerprint fp minus its top
+    bit; each old row splits into two left-packed new rows. `keys2` (the wide
+    table's second plane) follows the same lane permutation unchanged."""
+    rows = keys.shape[0]
+    occ = keys != 0
+    fpv = keys - 1                           # fingerprint (occupied lanes)
+    top = jnp.where(occ, (fpv >> (fb - 1)) & 1, 2)
+    order = jnp.argsort(top, axis=1, stable=True)
+    sk = jnp.take_along_axis(keys, order, axis=1)
+    sc = jnp.take_along_axis(counts, order, axis=1)
+    sb = jnp.take_along_axis(keys2, order, axis=1) if keys2 is not None else None
+    n0 = jnp.sum(top == 0, axis=1, keepdims=True)
+    n1 = jnp.sum(top == 1, axis=1, keepdims=True)
+    lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    newmask = (1 << (fb - 1)) - 1
+
+    def strip(kk):
+        # drop the consumed top fingerprint bit; keep the +1 empty-marker
+        return jnp.where(kk != 0, ((kk - 1) & newmask) + 1, 0)
+
+    def interleave(even, odd):
+        return jnp.stack([even, odd], axis=1).reshape(2 * rows, LANES)
+
+    shift_idx = jnp.minimum(lanes + n0, LANES - 1)
+    even_k = strip(jnp.where(lanes < n0, sk, 0))
+    odd_k = strip(jnp.where(
+        lanes < n1, jnp.take_along_axis(sk, shift_idx, axis=1), 0))
+    even_c = jnp.where(lanes < n0, sc, 0)
+    odd_c = jnp.where(
+        lanes < n1, jnp.take_along_axis(sc, shift_idx, axis=1), 0)
+    out_b = None
+    if sb is not None:
+        even_b = jnp.where(lanes < n0, sb, 0)
+        odd_b = jnp.where(
+            lanes < n1, jnp.take_along_axis(sb, shift_idx, axis=1), 0)
+        out_b = interleave(even_b, odd_b)
+    return interleave(even_k, odd_k), interleave(even_c, odd_c), out_b
+
+
 class BucketTable(CountTable):
+    #: True on the k>15 subclass: two sort words, two fingerprint planes
+    wide = False
     def __init__(self, k: int, rows: Optional[int] = None,
                  interpret: Optional[bool] = None, tile_rows: int = 128):
         if k > 15:
@@ -151,35 +196,11 @@ class BucketTable(CountTable):
         """
         fb = 2 * self.k - int(np.log2(self.rows))
         assert self.can_grow and fb >= 2, "table already at 4^k capacity"
-        occ = state.keys != 0
-        fpv = state.keys - 1                     # fingerprint (occupied lanes)
-        top = jnp.where(occ, (fpv >> (fb - 1)) & 1, 2)
-        order = jnp.argsort(top, axis=1, stable=True)
-        sk = jnp.take_along_axis(state.keys, order, axis=1)
-        sc = jnp.take_along_axis(state.counts, order, axis=1)
-        n0 = jnp.sum(top == 0, axis=1, keepdims=True)
-        n1 = jnp.sum(top == 1, axis=1, keepdims=True)
-        lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
-        newmask = (1 << (fb - 1)) - 1
-
-        def strip(kk):
-            # drop the consumed top fingerprint bit; keep the +1 empty-marker
-            return jnp.where(kk != 0, ((kk - 1) & newmask) + 1, 0)
-
-        even_k = strip(jnp.where(lanes < n0, sk, 0))
-        even_c = jnp.where(lanes < n0, sc, 0)
-        shifted = jnp.take_along_axis(
-            sk, jnp.minimum(lanes + n0, LANES - 1), axis=1)
-        shifted_c = jnp.take_along_axis(
-            sc, jnp.minimum(lanes + n0, LANES - 1), axis=1)
-        odd_k = strip(jnp.where(lanes < n1, shifted, 0))
-        odd_c = jnp.where(lanes < n1, shifted_c, 0)
-        keys2 = jnp.stack([even_k, odd_k], axis=1).reshape(2 * self.rows, LANES)
-        cnt2 = jnp.stack([even_c, odd_c], axis=1).reshape(2 * self.rows, LANES)
+        keys2x, cnt2x, _ = _split_rows(state.keys, state.counts, fb, None)
         new = BucketTable(self.k, rows=2 * self.rows,
                           interpret=self.interpret, tile_rows=self.tile_rows)
         new_state = TableState(
-            counts=cnt2, keys=keys2, used=state.used,
+            counts=cnt2x, keys=keys2x, used=state.used,
             overflow=state.overflow,  # keep the drop tally for reporting
         )
         return new, new_state
@@ -211,3 +232,154 @@ class BucketTable(CountTable):
         codes, vals = codes[order], vals[order]
         hi = np.zeros_like(codes, dtype=np.uint32)
         return hi, codes.astype(np.uint32), vals
+
+
+# ======================================================================
+# Wide bucket table: exact k = 16..31.
+# ======================================================================
+
+
+def default_rows_wide(k: int, memory_bytes: Optional[int] = None) -> int:
+    """Row count for the wide table. 4^k dwarfs any memory for k > 15, so
+    this is a pure capacity choice: 2^14 rows (2M slots, ~24 MB) by default —
+    overflow/occupancy-triggered growth (engine) covers deeper data — or as
+    much of --memory_start's budget as fits below the 2^20-row ceiling
+    (reference --memory_start semantics, nk.c:676)."""
+    floor, ceiling = 1 << 14, 1 << 20
+    if memory_bytes is None:
+        return floor
+    bps = 8 if k == 16 else 12              # bytes/slot: 2 or 3 int32 planes
+    rows = floor
+    while rows * LANES * bps * 2 <= memory_bytes and rows < ceiling:
+        rows *= 2
+    return rows
+
+
+class BucketTableWide(BucketTable):
+    """Exact bucket table for k = 16..31 (codes up to 62 bits).
+
+    Same design as BucketTable — 128-lane bucket rows addressed by a bijective
+    mix of the code, one fused Pallas kernel per batch — but the mix is the
+    two-word Feistel of ops/mix.py and the fingerprint spans TWO planes:
+    ``keys`` holds (w1 & (2^row_shift - 1)) + 1 (0 = empty) and ``keys2``
+    holds w2 (absent for k = 16, where the code fits one word). Serves the
+    reference's k = 16..31 range (normalise_kmers_multi_large.c:724) at bucket
+    speed instead of falling back to the serialized hashed table.
+    """
+
+    wide = True
+    #: structural growth ceiling (rows); 2^21 rows = 268M slots (~3 GB HBM)
+    MAX_ROWS = 1 << 21
+
+    def __init__(self, k: int, rows: Optional[int] = None,
+                 interpret: Optional[bool] = None, tile_rows: int = 128):
+        if not 16 <= k <= 31:
+            raise ValueError("BucketTableWide supports k=16..31")
+        self.k = k
+        self.rows = rows or default_rows_wide(k)
+        assert self.rows >= 512, "wide bucket table needs rows >= 512"
+        self.tile_rows = min(tile_rows, self.rows)
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+
+    @property
+    def has_plane_b(self) -> bool:
+        return self.k > 16
+
+    def init(self) -> TableState:
+        return TableState(
+            counts=jnp.zeros((self.rows, LANES), jnp.int32),
+            keys=jnp.zeros((self.rows, LANES), jnp.int32),
+            used=jnp.zeros((), jnp.int32),
+            overflow=jnp.zeros((), jnp.int32),
+            keys2=(jnp.zeros((self.rows, LANES), jnp.int32)
+                   if self.has_plane_b else None),
+        )
+
+    # ------------------------------------------------------------------
+    def process_batch(
+        self, state: TableState, lo: jax.Array, valid: jax.Array,
+        *, depth: int, windows_per_read: int, seed: bool = False,
+        chunk: int = 16384, hi: Optional[jax.Array] = None,
+    ) -> tuple[TableState, BucketBatchOut]:
+        """Non-fused entry: (hi, lo) uint32 code planes [R, W] + validity."""
+        assert hi is not None, "wide table needs both code planes"
+        n = lo.shape[0] * lo.shape[1]
+        w1, w2 = feistel_words(hi.reshape(n), lo.reshape(n), 2 * self.k)
+        return self.process_batch_keys(
+            state, w1.reshape(lo.shape), w2.reshape(lo.shape),
+            valid, depth=depth, windows_per_read=windows_per_read,
+            seed=seed, chunk=chunk)
+
+    def process_batch_keys(
+        self, state: TableState, w1: jax.Array, w2: jax.Array, valid,
+        *, depth: int, windows_per_read: int, seed: bool = False,
+        chunk: int = 16384, keyed: bool = False,
+    ) -> tuple[TableState, BucketBatchOut]:
+        """Feistel sort words (uint32 [R, W] each) -> batch upsert+classify.
+        With keyed=True the words already carry the sentinel pair for invalid
+        windows (ops/encode_kernel.py encode_keys_wide) and valid is unused."""
+        n = w1.shape[0] * w1.shape[1]
+        out = bucket_batch_wide(
+            state.keys, state.keys2, state.counts,
+            w1.reshape(n), w2.reshape(n),
+            None if keyed else valid.reshape(n),
+            k=self.k, rows=self.rows, depth=depth,
+            windows_per_read=windows_per_read, chunk=chunk,
+            tile_rows=self.tile_rows, seed=seed, keyed=keyed,
+            interpret=self.interpret,
+        )
+        new_state = TableState(
+            counts=out.counts, keys=out.fpA, used=state.used,
+            overflow=state.overflow + out.overflow, keys2=out.fpB,
+        )
+        bb = BucketBatchOut(fp=out.fpA, counts=out.counts,
+                            high_per_read=out.high_per_read,
+                            overflow=out.overflow)
+        return new_state, bb
+
+    def process_batch_mixed(self, *a, **kw):
+        raise NotImplementedError("wide table consumes Feistel word pairs "
+                                  "(process_batch_keys)")
+
+    # ------------------------------------------------------------------
+    @property
+    def can_grow(self) -> bool:
+        """Growable while the row_shift keeps >= 1 fingerprint bit in plane A
+        and rows stay under the structural HBM ceiling."""
+        return self.rows < self.MAX_ROWS
+
+    def grown(self, state: TableState) -> tuple["BucketTableWide", TableState]:
+        """Double the rows; identical remap to BucketTable.grown but the
+        consumed bit comes from plane A (row = w1 >> row_shift) and plane B
+        rides along unpermuted in value."""
+        row_shift = 32 - int(np.log2(self.rows))
+        assert self.can_grow and row_shift >= 2
+        keys2x, cnt2x, keysb2x = _split_rows(
+            state.keys, state.counts, row_shift, state.keys2)
+        new = BucketTableWide(self.k, rows=2 * self.rows,
+                              interpret=self.interpret,
+                              tile_rows=self.tile_rows)
+        return new, TableState(counts=cnt2x, keys=keys2x, used=state.used,
+                               overflow=state.overflow, keys2=keysb2x)
+
+    def export(self, state: TableState,
+               seeded_lo: Optional[np.ndarray] = None):
+        """(hi, lo, count) of occupied slots in ascending code order."""
+        fp = np.asarray(state.keys)
+        cnt = np.asarray(state.counts)
+        occ_r, occ_l = np.nonzero(fp)
+        row_shift = 32 - int(np.log2(self.rows))
+        w1 = (occ_r.astype(np.uint32) << np.uint32(row_shift)) | \
+            (fp[occ_r, occ_l].astype(np.uint32) - 1)
+        if state.keys2 is not None:
+            w2 = np.asarray(state.keys2)[occ_r, occ_l].astype(np.uint32)
+        else:
+            w2 = np.zeros_like(w1)
+        codes = unfeistel_np(w1, w2, 2 * self.k)
+        vals = cnt[occ_r, occ_l].astype(np.int32)
+        order = np.argsort(codes, kind="stable")
+        codes, vals = codes[order], vals[order]
+        return ((codes >> np.uint64(32)).astype(np.uint32),
+                (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32), vals)

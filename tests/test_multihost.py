@@ -1,0 +1,119 @@
+"""Multi-host support, tested for real: two OS processes join a
+jax.distributed cluster over a local coordinator (CPU backend, Gloo
+collectives), split the input file list with assign_files, each runs the real
+streaming engine over its subset (Mode A file-level parallelism), and
+aggregate_report psums the totals. The parent asserts the aggregated numbers
+equal the sum of equivalent single-process runs.
+
+This is the process-level analogue of the reference's per-thread counter
+aggregation (normalise_kmers_multi_large.c:1896-1912); the reference itself is
+single-process (SURVEY.md section 2.3)."""
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+T = pathlib.Path("/root/reference/test")
+HELPER = r"""
+import json, os, sys
+pid = int(sys.argv[1])
+out = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+from nomalise_kmers_multi_large_tpu.parallel.multihost import (
+    aggregate_report, assign_files, maybe_initialize)
+pidx, pcount = maybe_initialize()          # reads JAX_* env (the CLI contract)
+assert (pidx, pcount) == (pid, 2), (pidx, pcount)
+
+fwd = ("%(a1)s", "%(a2)s")
+rev = ("%(b1)s", "%(b2)s")
+myf, myr = assign_files(fwd, rev, pidx, pcount)
+assert len(myf) == 1 and len(myr) == 1
+
+from nomalise_kmers_multi_large_tpu.config import Config
+from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
+cfg = Config(forward_files=myf, reverse_files=myr, ksize=9, depth=3,
+             out_dir=out, table="direct", batch_reads=256)
+report = Normalizer(cfg).run()
+report = aggregate_report(report, paired=True)
+if pidx == 0:
+    with open(os.path.join(out, "agg.json"), "w") as f:
+        json.dump({"processed": report.total_processed,
+                   "printed": report.total_printed,
+                   "skipped": report.total_skipped,
+                   "files": list(myf)}, f)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mode_a_aggregation(tmp_path):
+    files = {k: str(T / f"{k}.fastq") for k in ("a1", "a2", "b1", "b2")}
+    helper = tmp_path / "helper.py"
+    helper.write_text(HELPER % files)
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "PYTHONPATH": "/root/repo:/root/repo/tests:"
+                      + os.environ.get("PYTHONPATH", ""),
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+    }
+    outs = []
+    procs = []
+    for pid in range(2):
+        out = tmp_path / f"proc{pid}"
+        out.mkdir()
+        outs.append(out)
+        env = {**env_base, "JAX_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, str(helper), str(pid), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{log[-3000:]}"
+
+    agg = json.loads((outs[0] / "agg.json").read_text())
+    # round-robin deal: process 0 must have gotten the FIRST pair
+    assert agg["files"] == [files["a1"]]
+
+    # expected: the sum of two independent single-process runs on the subsets
+    # (file-level parallelism semantics — each host has its own table)
+    from nomalise_kmers_multi_large_tpu.config import Config
+    from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
+
+    tot = {"processed": 0, "printed": 0, "skipped": 0}
+    for i, (f, r) in enumerate([(files["a1"], files["b1"]),
+                                (files["a2"], files["b2"])]):
+        out = tmp_path / f"solo{i}"
+        out.mkdir()
+        cfg = Config(forward_files=(f,), reverse_files=(r,), ksize=9, depth=3,
+                     out_dir=str(out), table="direct", batch_reads=256)
+        rep = Normalizer(cfg).run()
+        tot["processed"] += rep.total_processed
+        tot["printed"] += rep.total_printed
+        tot["skipped"] += rep.total_skipped
+    assert {k: agg[k] for k in tot} == tot
+    assert tot["processed"] > 0 and tot["printed"] > 0
+
+    # and the per-process OUTPUT FILES equal the solo runs' byte-for-byte
+    for pid, solo in [(0, "solo0"), (1, "solo1")]:
+        for f in sorted((tmp_path / f"proc{pid}").glob("output_*.fastq")):
+            want = tmp_path / solo / f.name
+            assert want.exists(), f.name
+            assert f.read_bytes() == want.read_bytes()
