@@ -103,6 +103,51 @@ def main():
     }), flush=True)
 
 
+def main_k21():
+    """Wide-path (k > 15) device throughput: the reference serves k 5..31
+    through one hot loop (nk.c:724); this line shows the two-plane bucket
+    kernel's k=21 rate next to the k=15 headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from nomalise_kmers_multi_large_tpu.engine.step import BatchStep
+    from nomalise_kmers_multi_large_tpu.table import BucketTableWide
+
+    k = 21
+    pad = READ_LEN + (k - K)  # keep W = 136 windows/read like the headline
+    rng = np.random.default_rng(0)
+    pool = rng.integers(0, 4, size=(4096, pad), dtype=np.uint8)
+    group, iters = 4, 3
+    idx = rng.integers(0, pool.shape[0], size=(group, BATCH_READS))
+    batches = jnp.asarray(pool[idx])
+    lengths_d = jnp.asarray(np.full((group, BATCH_READS), pad, np.int32))
+    valid_d = jnp.asarray(np.ones((group, BATCH_READS // 2), bool))
+
+    table = BucketTableWide(k, rows=1 << 14)
+    step = BatchStep(table, k=k, depth_per_shard=50, coverage=0.9,
+                     canonical=False, paired=True, mode="exact")
+    state = table.init()
+    for _ in range(2):
+        state, keep, stats, _ = step.step_many(
+            state, batches, lengths_d, valid_d)
+    _sync(keep)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, keep, stats, _ = step.step_many(
+                state, batches, lengths_d, valid_d)
+        _sync(keep)
+        best = min(best, time.perf_counter() - t0)
+    rps = BATCH_READS * group * iters / best
+    print(json.dumps({
+        "metric": "reads/s/chip kmer count+filter (k=21, paired, exact mode, "
+                  "wide bucket table)",
+        "value": round(rps),
+        "unit": "reads/s",
+    }), flush=True)
+
+
 def _write_fastq(path, seqs, qual_char=b"I"):
     rows = []
     for i, s in enumerate(seqs):
@@ -138,7 +183,12 @@ def main_e2e(n_pairs: int = 100_000):
                  dispatch_group=4)
     norm = Normalizer(cfg)
     t0 = time.perf_counter()
-    report = norm.run()
+    # the engine's console report goes to a buffer: bench stdout stays JSON
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        report = norm.run()
     wall = time.perf_counter() - t0
     stages = {name: round(t * 1e3, 1) for name, t in
               sorted(norm.timer.totals.items(), key=lambda kv: -kv[1])}
@@ -180,4 +230,5 @@ def main_e2e(n_pairs: int = 100_000):
 
 if __name__ == "__main__":
     main()
+    main_k21()
     main_e2e()

@@ -222,7 +222,9 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
                 match = (row_fp == fpv1_f).astype(jnp.float32)  # (L, SUB)
                 # single sublane-reduction recovers BOTH is_match and prior:
                 # counts are clamped below `offset`, and prior + offset < 2^24
-                # is f32-exact
+                # is f32-exact. (An MXU ones-dot reduction variant measured
+                # 6% SLOWER end-to-end — M=1 matmuls + extra bf16 casts lose
+                # to the VPU tree; docs/PERF_NOTES.md round 2.)
                 mboth = jnp.sum(
                     match * (row_cnt + offset), axis=0, keepdims=True)
                 is_match = jnp.where(mboth >= offset, 1.0, 0.0)  # (1, SUB)

@@ -62,7 +62,7 @@ def _split_rows(keys, counts, fb: int, keys2):
     (r, fp) moves to row 2r + top_bit(fp) with fingerprint fp minus its top
     bit; each old row splits into two left-packed new rows. `keys2` (the wide
     table's second plane) follows the same lane permutation unchanged."""
-    rows = keys.shape[0]
+    rows, lanes_n = keys.shape
     occ = keys != 0
     fpv = keys - 1                           # fingerprint (occupied lanes)
     top = jnp.where(occ, (fpv >> (fb - 1)) & 1, 2)
@@ -72,7 +72,7 @@ def _split_rows(keys, counts, fb: int, keys2):
     sb = jnp.take_along_axis(keys2, order, axis=1) if keys2 is not None else None
     n0 = jnp.sum(top == 0, axis=1, keepdims=True)
     n1 = jnp.sum(top == 1, axis=1, keepdims=True)
-    lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    lanes = jnp.arange(lanes_n, dtype=jnp.int32)[None, :]
     newmask = (1 << (fb - 1)) - 1
 
     def strip(kk):
@@ -80,9 +80,9 @@ def _split_rows(keys, counts, fb: int, keys2):
         return jnp.where(kk != 0, ((kk - 1) & newmask) + 1, 0)
 
     def interleave(even, odd):
-        return jnp.stack([even, odd], axis=1).reshape(2 * rows, LANES)
+        return jnp.stack([even, odd], axis=1).reshape(2 * rows, lanes_n)
 
-    shift_idx = jnp.minimum(lanes + n0, LANES - 1)
+    shift_idx = jnp.minimum(lanes + n0, lanes_n - 1)
     even_k = strip(jnp.where(lanes < n0, sk, 0))
     odd_k = strip(jnp.where(
         lanes < n1, jnp.take_along_axis(sk, shift_idx, axis=1), 0))
@@ -102,12 +102,18 @@ class BucketTable(CountTable):
     #: True on the k>15 subclass: two sort words, two fingerprint planes
     wide = False
     def __init__(self, k: int, rows: Optional[int] = None,
-                 interpret: Optional[bool] = None, tile_rows: int = 128):
+                 interpret: Optional[bool] = None, tile_rows: int = 128,
+                 lanes: int = 64):
         if k > 15:
             raise ValueError("BucketTable currently supports k<=15 "
                              "(single-plane 30-bit codes)")
         self.k = k
         self.rows = rows or default_rows(k)
+        #: slots per bucket row. 64 measures ~0.5 ms/batch faster than 128
+        #: (the match/mboth VPU area halves; experiments/perf_kernel_ablate
+        #: .py) and the per-row capacity stays ~5 sigma above the Poisson
+        #: load at the 0.55 growth headroom.
+        self.lanes = lanes
         self.tile_rows = min(tile_rows, self.rows)
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
@@ -115,12 +121,12 @@ class BucketTable(CountTable):
 
     @property
     def capacity(self) -> int:
-        return self.rows * LANES
+        return self.rows * self.lanes
 
     def init(self) -> TableState:
         return TableState(
-            counts=jnp.zeros((self.rows, LANES), jnp.int32),
-            keys=jnp.zeros((self.rows, LANES), jnp.int32),
+            counts=jnp.zeros((self.rows, self.lanes), jnp.int32),
+            keys=jnp.zeros((self.rows, self.lanes), jnp.int32),
             used=jnp.zeros((), jnp.int32),
             overflow=jnp.zeros((), jnp.int32),
         )
@@ -154,8 +160,8 @@ class BucketTable(CountTable):
             None if keyed else valid.reshape(n),
             k=self.k, rows=self.rows, depth=depth,
             windows_per_read=windows_per_read, chunk=chunk,
-            tile_rows=self.tile_rows, seed=seed, keyed=keyed,
-            interpret=self.interpret,
+            tile_rows=self.tile_rows, lanes=self.lanes, seed=seed,
+            keyed=keyed, interpret=self.interpret,
         )
         new_state = TableState(
             counts=out.counts, keys=out.fp, used=state.used,
@@ -170,19 +176,22 @@ class BucketTable(CountTable):
             "SortedStream interface")
 
     # ------------------------------------------------------------------
-    #: engine grows when projected occupancy exceeds this fraction — early
-    #: enough that no bucket row (Poisson-loaded via the bijective mix) comes
-    #: near its 128 lanes: at load 0.55 a row averages ~70 entries, ~7 sigma
-    #: from 128, so even 2^20-row tables stay drop-free. Role of the
-    #: reference's 0.8 load-factor trigger (nk.c:143,933-934), which likewise
-    #: grows BEFORE any insert can fail (0.75 measurably drops at ~16k slots).
-    grow_headroom = 0.55
+    @property
+    def grow_headroom(self) -> float:
+        """Engine grows when projected occupancy exceeds this fraction — early
+        enough that no bucket row (Poisson-loaded via the bijective mix) comes
+        near its lane capacity: at load 0.55 a 128-lane row averages ~70
+        entries (~7 sigma from 128); 64-lane rows use 0.45 (mean ~29, ~6.5
+        sigma from 64). Role of the reference's 0.8 load-factor trigger
+        (nk.c:143,933-934), which likewise grows BEFORE any insert can fail
+        (0.75 measurably drops at ~16k slots)."""
+        return 0.55 if self.lanes >= 128 else 0.45
 
     @property
     def can_grow(self) -> bool:
         """Growable until capacity reaches 4^k, where every row holds exactly
-        its 128 possible fingerprints and overflow is structurally impossible
-        (and fp_bits >= 1 keeps the kernel's fingerprint plane nonempty)."""
+        its `lanes` possible fingerprints and overflow is structurally
+        impossible (and fp_bits >= 1 keeps the fingerprint plane nonempty)."""
         return self.capacity < 4 ** self.k
 
     def grown(self, state: TableState) -> tuple["BucketTable", TableState]:
@@ -198,7 +207,8 @@ class BucketTable(CountTable):
         assert self.can_grow and fb >= 2, "table already at 4^k capacity"
         keys2x, cnt2x, _ = _split_rows(state.keys, state.counts, fb, None)
         new = BucketTable(self.k, rows=2 * self.rows,
-                          interpret=self.interpret, tile_rows=self.tile_rows)
+                          interpret=self.interpret, tile_rows=self.tile_rows,
+                          lanes=self.lanes)
         new_state = TableState(
             counts=cnt2x, keys=keys2x, used=state.used,
             overflow=state.overflow,  # keep the drop tally for reporting
@@ -278,6 +288,7 @@ class BucketTableWide(BucketTable):
         self.k = k
         self.rows = rows or default_rows_wide(k)
         assert self.rows >= 512, "wide bucket table needs rows >= 512"
+        self.lanes = 128  # the wide kernel is not lane-width parametrized
         self.tile_rows = min(tile_rows, self.rows)
         if interpret is None:
             interpret = jax.default_backend() == "cpu"

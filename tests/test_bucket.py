@@ -86,13 +86,15 @@ def test_bucket_pipeline_parity_2seq(tmp_path):
             assert f.read_bytes() == golden.read_bytes()
 
 
-def test_bucket_overflow_flag():
-    """>128 distinct codes hashing to one bucket row must be REPORTED via the
-    overflow counter (the engine's grow/abort trigger), never corrupt state."""
+@pytest.mark.parametrize("lanes", [64, 128])
+def test_bucket_overflow_flag(lanes):
+    """More distinct codes hashing to one bucket row than it has lanes must be
+    REPORTED via the overflow counter (the engine's grow/abort trigger), never
+    corrupt state."""
     import jax.numpy as jnp
 
     k = 8
-    table = BucketTable(k, rows=128)  # fp_bits = 16 - 7 = 9: 512 codes/row
+    table = BucketTable(k, rows=128, lanes=lanes)  # fp_bits = 9: 512 codes/row
     all_codes = np.arange(1, 4 ** k, dtype=np.uint32)
     rows_of = mix32_np(all_codes, 2 * k) >> np.uint32(9)
     row0 = all_codes[rows_of == 0][:200]   # 200 distinct codes of bucket row 0
@@ -104,9 +106,9 @@ def test_bucket_overflow_flag():
         state, jnp.asarray(codes), jnp.asarray(valid), depth=2,
         windows_per_read=25,
     )
-    assert int(state.overflow) == 200 - 128
-    # the 128 inserted codes are intact, each with count 1
+    assert int(state.overflow) == 200 - lanes
+    # the inserted codes are intact, each with count 1
     hi, lo, counts = table.export(state)
-    assert lo.size == 128
+    assert lo.size == lanes
     assert (counts == 1).all()
     assert set(lo.tolist()) <= set(row0.tolist())
