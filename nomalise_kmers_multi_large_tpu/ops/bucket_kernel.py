@@ -548,7 +548,7 @@ class BucketBatchWideOut(NamedTuple):
 
 
 def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
-                 tile_rows: int, seed: bool,
+                 tile_rows: int, lanes: int, seed: bool,
                  # prefetch
                  step_tile, step_chunk, step_active,
                  *refs):
@@ -591,7 +591,8 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
     tile_eff = jnp.where(active, tile, -2)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, SUB), 0)
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (lanes, SUB), 0)
+    li128 = jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0)
 
     def sub_out_of_tile(i):
         """Same fast-skip as the narrow kernel; sentinels map to the LAST row
@@ -644,8 +645,8 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
                   (cntt & 255).astype(jnp.bfloat16)]
     planes = jnp.concatenate(limbs, axis=1)          # (R, (nA+nB+nc)*128)
 
-    delta_acc = jnp.zeros((R, LANES), jnp.float32)
-    rec_acc = jnp.zeros((128, LANES), jnp.float32)
+    delta_acc = jnp.zeros((R, lanes), jnp.float32)
+    rec_acc = jnp.zeros((128, 128), jnp.float32)
     n_unmatched = jnp.zeros((), jnp.float32)
 
     for i in range(subs):
@@ -653,19 +654,19 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
             delta_acc, rec_acc, n_unmatched = args
             C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
             G = mm_00(planes, C)                     # ((nA+nB+nc)*L, SUB)
-            matchb = G[0:LANES] == limb_f(fpvA, 0)
+            matchb = G[0:lanes] == limb_f(fpvA, 0)
             for j in range(1, nA):
-                matchb &= G[j * LANES:(j + 1) * LANES] == limb_f(fpvA, j)
+                matchb &= G[j * lanes:(j + 1) * lanes] == limb_f(fpvA, j)
             for j in range(nB):
-                o = (nA + j) * LANES
-                matchb &= G[o:o + LANES] == limb_f(fpvB, j)
+                o = (nA + j) * lanes
+                matchb &= G[o:o + lanes] == limb_f(fpvB, j)
             matchb &= valid                          # sentinel rows are REAL
             match = jnp.where(matchb, 1.0, 0.0)      # (L, SUB) f32
-            co = (nA + nB) * LANES
+            co = (nA + nB) * lanes
             if one_limb:
-                row_cnt = G[co:co + LANES]
+                row_cnt = G[co:co + lanes]
             else:
-                row_cnt = G[co:co + LANES] * 256.0 + G[co + LANES:]
+                row_cnt = G[co:co + lanes] * 256.0 + G[co + lanes:]
             mboth = jnp.sum(match * (row_cnt + offset), axis=0, keepdims=True)
             is_match = jnp.where(mboth >= offset, 1.0, 0.0)
             prior = mboth - is_match * offset
@@ -681,8 +682,8 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
             high = _onehot((observed >= float(depth)) & valid)
             rrow = jax.lax.shift_right_logical(rid, 7)
             rcol = jnp.bitwise_and(rid, 127)
-            Ar = _onehot(rrow == l_iota)
-            Brh = _onehot(rcol == l_iota) * high
+            Ar = _onehot(rrow == li128)
+            Brh = _onehot(rcol == li128) * high
             return d_acc, rec_acc + mm_11(Ar, Brh), n_un
 
         delta_acc, rec_acc, n_unmatched = jax.lax.cond(
@@ -696,28 +697,28 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
 
     def _insert_path(_):
         occ = jnp.sum(jnp.where(fpt != 0, 1.0, 0.0), axis=1, keepdims=True)
-        cnew = jnp.zeros((R, LANES), jnp.float32)
+        cnew = jnp.zeros((R, lanes), jnp.float32)
         for i in range(subs):
             def _do_b1(cnew, i=i):
                 C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
                 is_match = ismatch_ref[i:i + 1, :]
                 insert = ((is_match == 0.0) & (rank == 1) & valid
-                          & (cand < LANES))
+                          & (cand < lanes))
                 B_cand = _onehot(cand == l_iota)
                 return cnew + mm_11(C * _onehot(insert), B_cand)
 
             cnew = jax.lax.cond(
                 sub_out_of_tile(i), lambda cnew: cnew, _do_b1, cnew)
-        tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        tl_iota = jax.lax.broadcasted_iota(jnp.int32, (R, lanes), 1)
         inc = cnew
         shift = 1
-        while shift < LANES:
+        while shift < lanes:
             rolled = pltpu.roll(inc, shift, 1)
             inc = inc + jnp.where(tl_iota >= shift, rolled, 0.0)
             shift *= 2
         M = (occ + (inc - cnew)).astype(jnp.bfloat16)
-        wrote = [jnp.zeros((R, LANES), jnp.float32) for _ in range(nW)]
-        delta_ins = jnp.zeros((R, LANES), jnp.float32)
+        wrote = [jnp.zeros((R, lanes), jnp.float32) for _ in range(nW)]
+        delta_ins = jnp.zeros((R, lanes), jnp.float32)
         dropped = jnp.zeros((), jnp.float32)
         for i in range(subs):
             def _do_b2(args, i=i):
@@ -728,12 +729,12 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
                 ML = mm_00(M, C)
                 lane_new = jnp.sum(ML * B_cand.astype(jnp.float32),
                                    axis=0, keepdims=True)
-                fits = lane_new < float(LANES)
-                unmatched = (is_match == 0.0) & valid & (cand < LANES) & fits
+                fits = lane_new < float(lanes)
+                unmatched = (is_match == 0.0) & valid & (cand < lanes) & fits
                 B_new = _onehot(
                     (lane_new == l_iota.astype(jnp.float32)) & unmatched)
                 insert = ((is_match == 0.0) & (rank == 1) & valid
-                          & (cand < LANES))
+                          & (cand < lanes))
                 B_ins = B_new * _onehot(insert)      # one writer per (r, l)
                 w2 = []
                 for j in range(nW):
@@ -744,7 +745,7 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
                 d2 = delta_ins if seed else delta_ins + mm_11(C, B_new)
                 dr2 = dropped + jnp.sum(
                     jnp.where((is_match == 0.0) & valid & (rank == 1)
-                              & ((cand >= LANES) | jnp.logical_not(fits)),
+                              & ((cand >= lanes) | jnp.logical_not(fits)),
                               1.0, 0.0))
                 return (*w2, d2, dr2)
 
@@ -755,7 +756,7 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
         return (*wrote, delta_ins, dropped)
 
     def _no_insert(_):
-        z = jnp.zeros((R, LANES), jnp.float32)
+        z = jnp.zeros((R, lanes), jnp.float32)
         return (*[z] * nW, z, jnp.zeros((), jnp.float32))
 
     out = jax.lax.cond(n_unmatched > 0.0, _insert_path, _no_insert, None)
@@ -787,7 +788,8 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
 def bucket_batch_wide(
     fpA, fpB, counts, w1_flat, w2_flat, valid_flat, *,
     k: int, rows: int, depth: int, windows_per_read: int,
-    chunk: int = 16384, tile_rows: int = TILE_ROWS, seed: bool = False,
+    chunk: int = 16384, tile_rows: int = TILE_ROWS, lanes: int = LANES,
+    seed: bool = False,
     keyed: bool = False, interpret: bool = False,
 ):
     """One batch through the WIDE bucket table (k = 16..31).
@@ -887,19 +889,19 @@ def bucket_batch_wide(
 
     stream_spec = pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
                                memory_space=pltpu.VMEM)
-    tile_spec = pl.BlockSpec((tile_rows, LANES),
+    tile_spec = pl.BlockSpec((tile_rows, lanes),
                              lambda s, st, sc, sa: (st[s], 0),
                              memory_space=pltpu.VMEM)
     in_specs = [stream_spec] * 4 + [tile_spec] * (3 if has_b else 2)
     out_specs = [tile_spec] * (3 if has_b else 2) + [
-        pl.BlockSpec((128, LANES), lambda s, st, sc, sa: (0, 0),
+        pl.BlockSpec((128, 128), lambda s, st, sc, sa: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((8, 128), lambda s, st, sc, sa: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] \
+    out_shape = [jax.ShapeDtypeStruct((rows, lanes), jnp.int32)] \
         * (3 if has_b else 2) + [
-        jax.ShapeDtypeStruct((128, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -908,7 +910,7 @@ def bucket_batch_wide(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, lanes), jnp.float32),
             pltpu.VMEM((subs, SUB), jnp.float32),
         ],
     )
@@ -923,7 +925,7 @@ def bucket_batch_wide(
 
     outs = pl.pallas_call(
         partial(_kernel_wide, row_shift, nA, nB, depth, chunk, tile_rows,
-                seed),
+                lanes, seed),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,

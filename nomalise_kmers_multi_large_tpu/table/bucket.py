@@ -282,13 +282,14 @@ class BucketTableWide(BucketTable):
     MAX_ROWS = 1 << 21
 
     def __init__(self, k: int, rows: Optional[int] = None,
-                 interpret: Optional[bool] = None, tile_rows: int = 128):
+                 interpret: Optional[bool] = None, tile_rows: int = 128,
+                 lanes: int = 64):
         if not 16 <= k <= 31:
             raise ValueError("BucketTableWide supports k=16..31")
         self.k = k
         self.rows = rows or default_rows_wide(k)
         assert self.rows >= 512, "wide bucket table needs rows >= 512"
-        self.lanes = 128  # the wide kernel is not lane-width parametrized
+        self.lanes = lanes
         self.tile_rows = min(tile_rows, self.rows)
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
@@ -300,11 +301,11 @@ class BucketTableWide(BucketTable):
 
     def init(self) -> TableState:
         return TableState(
-            counts=jnp.zeros((self.rows, LANES), jnp.int32),
-            keys=jnp.zeros((self.rows, LANES), jnp.int32),
+            counts=jnp.zeros((self.rows, self.lanes), jnp.int32),
+            keys=jnp.zeros((self.rows, self.lanes), jnp.int32),
             used=jnp.zeros((), jnp.int32),
             overflow=jnp.zeros((), jnp.int32),
-            keys2=(jnp.zeros((self.rows, LANES), jnp.int32)
+            keys2=(jnp.zeros((self.rows, self.lanes), jnp.int32)
                    if self.has_plane_b else None),
         )
 
@@ -338,8 +339,8 @@ class BucketTableWide(BucketTable):
             None if keyed else valid.reshape(n),
             k=self.k, rows=self.rows, depth=depth,
             windows_per_read=windows_per_read, chunk=chunk,
-            tile_rows=self.tile_rows, seed=seed, keyed=keyed,
-            interpret=self.interpret,
+            tile_rows=self.tile_rows, lanes=self.lanes, seed=seed,
+            keyed=keyed, interpret=self.interpret,
         )
         new_state = TableState(
             counts=out.counts, keys=out.fpA, used=state.used,
@@ -371,7 +372,7 @@ class BucketTableWide(BucketTable):
             state.keys, state.counts, row_shift, state.keys2)
         new = BucketTableWide(self.k, rows=2 * self.rows,
                               interpret=self.interpret,
-                              tile_rows=self.tile_rows)
+                              tile_rows=self.tile_rows, lanes=self.lanes)
         return new, TableState(counts=cnt2x, keys=keys2x, used=state.used,
                                overflow=state.overflow, keys2=keysb2x)
 
