@@ -185,7 +185,13 @@ class HashedTable(CountTable):
         return int(state.used)
 
     def export(self, state: TableState, seeded_lo: Optional[np.ndarray] = None):
+        """(hi, lo, count) of occupied slots in ascending code order — the
+        same -P normalization every table uses (docs/ARCHITECTURE.md), so
+        dumps are table-implementation independent."""
         keys = np.asarray(state.keys)
         counts = np.asarray(state.counts)
         occ = np.nonzero((keys[0] | keys[1]) != 0)[0]
-        return keys[0, occ], keys[1, occ], counts[occ].astype(np.int32)
+        hi, lo = keys[0, occ], keys[1, occ]
+        code = (hi.astype(np.uint64) << np.uint64(32)) | lo
+        order = np.argsort(code, kind="stable")
+        return hi[order], lo[order], counts[occ][order].astype(np.int32)

@@ -173,6 +173,35 @@ def test_wide_same_as_hashed_k21_paired():
     assert int(wstate.overflow) == 0
 
 
+def test_wide_cli_pipeline_k21_matches_hashed(tmp_path):
+    """Full CLI pipeline at k=21: the wide bucket table and the hashed table
+    must produce byte-identical outputs and identical -P dumps (both are
+    exact implementations of the reference's k>15 range, nk.c:724)."""
+    import pathlib
+
+    from nomalise_kmers_multi_large_tpu.config import Config
+    from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
+
+    src = pathlib.Path("/root/reference/test/2seq.fastq")
+    outs = {}
+    reports = {}
+    for kind in ("bucket", "hashed"):
+        out = tmp_path / kind
+        out.mkdir()
+        cfg = Config(
+            forward_files=(str(src),), single=True, ksize=21, depth=2,
+            out_dir=str(out), print_table=True, table=kind, batch_reads=64,
+        )
+        reports[kind] = Normalizer(cfg).run()
+        outs[kind] = out
+    assert reports["bucket"].total_processed == 4
+    assert reports["bucket"].total_printed == reports["hashed"].total_printed
+    for f in sorted(outs["bucket"].glob("output_*")):
+        other = outs["hashed"] / f.name
+        assert other.exists(), f.name
+        assert f.read_bytes() == other.read_bytes(), f.name
+
+
 def test_wide_growth_preserves_contents():
     """grown() must preserve every (code, count) pair across both planes."""
     k = 21
