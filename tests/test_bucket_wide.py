@@ -230,3 +230,28 @@ def test_wide_growth_preserves_contents():
     doubled = {(int(h) << 32) | int(l): int(c)
                for h, l, c in zip(hi2, lo2, c2)}
     assert doubled == {c: 2 * v for c, v in before.items()}
+
+
+def test_wide_stride_matches_hashed():
+    """stride > 1 routes the wide table through the non-fused codec path
+    (hi/lo planes -> Feistel in the table); decisions must equal the hashed
+    table's under the same stride."""
+    reads = _make_reads(48)
+    k = 17
+
+    def run(table):
+        step = BatchStep(table, k=k, depth_per_shard=DEPTH, coverage=COVERAGE,
+                         canonical=True, paired=False, stride=2)
+        state = table.init()
+        decisions = []
+        for lo_i in range(0, len(reads), 16):
+            rows = reads[lo_i: lo_i + 16]
+            bases, lengths = _pack(rows, 64, k)
+            rec_valid = lengths > 0
+            state, keep, _, _ = step.step(
+                state, jnp.asarray(bases), jnp.asarray(lengths),
+                jnp.asarray(rec_valid))
+            decisions.extend(np.asarray(keep)[rec_valid].tolist())
+        return decisions
+
+    assert run(BucketTableWide(k, rows=512)) == run(HashedTable(k, 1 << 14))

@@ -144,3 +144,23 @@ def test_mesh_checkpoint_resume(tmp_path):
         f1 = full / f"output_forward.k11_norm2_thread{s}.fastq"
         f2 = part / f"output_forward.k11_norm2_thread{s}.fastq"
         assert f1.read_bytes() == f2.read_bytes(), f"shard {s}"
+
+
+def test_mode_a_wide_table_k21(tmp_path):
+    """Mesh Mode A with the WIDE (k>15) bucket table: the two-plane state
+    (keys2) must replicate/shard cleanly and per-shard decisions must match
+    an equivalent single-device run on the same shard's records."""
+    cfg = Config(
+        forward_files=(str(T / "2seq.fastq"),), single=True, ksize=21,
+        depth=4, batch_reads=2, out_dir=str(tmp_path), sharding="local",
+        table="bucket",
+    )
+    rep = MeshNormalizer(cfg, n_devices=2).run()
+    assert rep.total_processed == 4
+    assert rep.total_printed + rep.total_skipped == 4
+    total = 0
+    for s in range(2):
+        p = tmp_path / f"output_forward.k21_norm2_thread{s}.fastq"
+        assert p.exists(), p
+        total += len(_read_records(p))
+    assert total == rep.total_printed
