@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--dispatch-group", type=int, default=1,
                      help="batches per device dispatch (lax.scan grouping; "
                           "amortizes per-dispatch runtime overhead)")
+    tpu.add_argument("--prefetch", type=int, default=2,
+                     help="host batches framed+packed ahead on a worker "
+                          "thread, overlapping device compute (0 = inline)")
     tpu.add_argument("--mode", choices=["exact", "relaxed"], default="exact",
                      help="exact = reference-sequential semantics via sort-based "
                           "ranks; relaxed = pair-local ranks (batch-order independent)")
@@ -125,6 +128,7 @@ def config_from_args(argv=None) -> Config:
         print_table=args.print_table,
         batch_reads=args.batch_reads,
         dispatch_group=args.dispatch_group,
+        prefetch=args.prefetch,
         mode=args.mode,
         table=args.table,
         out_dir=args.out_dir,
@@ -165,6 +169,20 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, forward_files=fwd, reverse_files=rev)
 
     import jax
+
+    # Persistent XLA compilation cache (OPT-IN: NKMT_COMPILE_CACHE=<dir>):
+    # the jitted step costs ~40-60 s to compile, paid by every CLI invocation
+    # (the reference has no such cost — its hot loop is precompiled C). On a
+    # real TPU host the cache removes that; it is opt-in because tunneled
+    # PJRT backends (this sandbox's axon) deserialize cached executables
+    # pathologically slowly (measured 5x WORSE warm than cold).
+    cache = os.environ.get("NKMT_COMPILE_CACHE", "")
+    if cache and cache != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:
+            pass  # older jax without the knobs: run uncached
 
     # startup table report (reference parse_arguments :686)
     if cfg.table_kind == "direct":

@@ -78,6 +78,9 @@ class Config:
                                          # grouping; amortizes ~0.9 ms/dispatch
                                          # runtime overhead — engine/step.py
                                          # step_many). 1 = one batch per call.
+    prefetch: int = 2                    # host frame+pack batches prepared
+                                         # ahead on a worker thread
+                                         # (utils/prefetch.py); 0 = inline
     n_devices: int = 0                   # 0 => all local devices
     sharding: Literal["local", "global"] = "local"  # Mode A vs Mode B
     spectrum: bool = False               # print k-mer spectrum stats at the end
@@ -212,4 +215,6 @@ class Config:
         if self.dispatch_group < 1:
             raise ConfigError(
                 f"dispatch-group ({self.dispatch_group}) must be >= 1")
+        if self.prefetch < 0:
+            raise ConfigError(f"prefetch ({self.prefetch}) must be >= 0")
         return self

@@ -35,6 +35,7 @@ from nomalise_kmers_multi_large_tpu.io.reader import (
 from nomalise_kmers_multi_large_tpu.io.writer import ShardWriter, output_filename
 from nomalise_kmers_multi_large_tpu.ops.codec import decode_codes
 from nomalise_kmers_multi_large_tpu.table import DirectTable, make_table
+from nomalise_kmers_multi_large_tpu.utils.prefetch import PrefetchIterator
 
 
 def _round_up(x: int, m: int) -> int:
@@ -402,7 +403,18 @@ class Normalizer:
                     pending = None
                 return done
 
-            for batch in it:
+            def produce(it=it):
+                """frame+pack stage; runs on the prefetch worker when
+                cfg.prefetch > 0 and overlaps device dispatch/wait (the
+                consumer releases the GIL while blocked on the device)."""
+                for batch in it:
+                    with self.timer.stage("pack"):
+                        packed = self._pack(batch, cfg.ksize)
+                    yield batch, packed
+
+            pit = (PrefetchIterator(produce(), depth=cfg.prefetch)
+                   if cfg.prefetch > 0 else produce())
+            for batch, (bases, lengths, rec_valid) in pit:
                 n = len(batch)
                 if skip:
                     take = min(skip, n)
@@ -412,6 +424,8 @@ class Normalizer:
                         continue
                     batch = self._slice_batch(batch, take, n)
                     n = len(batch)
+                    # resume boundary (rare): re-pack the sliced batch
+                    bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
                 # checkpoint only when nothing is staged or in flight: the
                 # table state must describe exactly the records counted in
                 # records_done
@@ -423,8 +437,6 @@ class Normalizer:
                     records_done += drain()
                     self._checkpoint(ckpt, fi, records_done, rr)
                     batches_since_ckpt = 0
-                with self.timer.stage("pack"):
-                    bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
                 if cfg.debug >= 3:
                     self._debug_roundtrip(bases, lengths)
                 shard = self._queue_for(rr)
