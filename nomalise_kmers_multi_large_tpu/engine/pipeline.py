@@ -607,6 +607,8 @@ class Normalizer:
                     f"Total kmers: F:{tf};R:{tr} "
                     f"High count ratio: F:{rf:.2f};R:{rv:.2f}"
                 )
+                if self.cfg.debug > 3:
+                    self._debug_dump_seq(batch, i)
             else:
                 h, t = int(high[i]), int(total[i])
                 if t == 0 and not keep[i]:
@@ -619,6 +621,30 @@ class Normalizer:
                     f"High ({d}) count kmers: F:{h}, Total kmers: F:{t} "
                     f"High count ratio: F:{r:.2f}"
                 )
+                if self.cfg.debug > 3:
+                    self._debug_dump_seq(batch, i)
+
+    def _debug_dump_seq(self, batch, i: int):
+        """--debug > 3 raw record dump (reference nk.c:1694-1695). The
+        reference's still-deeper tiers (per-upsert hash/count lines at
+        debug>2, probe-chain traces at debug>4) have no analogue in a
+        batched kernel — their role is served by the debug>=3 batch-level
+        decode(encode) self-checks (_debug_roundtrip)."""
+
+        def seq(file, cols):
+            h0 = int(cols.hdr_start[i])
+            s0, sl = int(cols.seq_start[i]), int(cols.seq_len[i])
+            hdr = bytes(file.data[h0:int(cols.hdr_len[i]) + h0]).decode(
+                "ascii", "replace")
+            sq = bytes(file.data[s0:s0 + sl]).decode("ascii", "replace")
+            return hdr, sq
+
+        fh, fs = seq(batch.fwd_file, batch.fwd)
+        if batch.rev is not None:
+            rh, rs = seq(batch.rev_file, batch.rev)
+            print(f"FWD seq: {fh}\n{fs}\nREV seq: {rh}\n{rs}")
+        else:
+            print(f"FWD seq: {fh}\n{fs}")
 
     def _rebuild_tables_from_states(self):
         """After resume, table descriptors must match the (possibly grown)
