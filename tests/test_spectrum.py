@@ -58,3 +58,23 @@ def test_spectrum_bucket():
     assert sp.total_kmers == len(codes)
     assert sp.histogram[1] == 3 and sp.histogram[5] == 2 and sp.histogram[10] == 1
     assert sp.coverage_peak == 5
+
+
+def test_spectrum_wide_bucket():
+    from nomalise_kmers_multi_large_tpu.ops.mix import feistel_words_np
+    from nomalise_kmers_multi_large_tpu.table import BucketTableWide
+
+    k = 21
+    t = BucketTableWide(k, rows=512)
+    s = t.init()
+    codes = np.array([11, 12, 13] + [14] * 5 + [15] * 5 + [16] * 10,
+                     np.uint64)
+    w1, w2 = feistel_words_np(codes, 2 * k)
+    s, _ = t.process_batch_keys(
+        s, jnp.asarray(w1[None, :]), jnp.asarray(w2[None, :]),
+        jnp.ones((1, len(codes)), bool), depth=3,
+        windows_per_read=len(codes))
+    sp = spectrum(t, s)
+    assert sp.distinct_kmers == 6
+    assert sp.total_kmers == len(codes)
+    assert sp.histogram[1] == 3 and sp.histogram[5] == 2 and sp.histogram[10] == 1
