@@ -657,10 +657,10 @@ class Normalizer:
             if isinstance(t, BucketTable) and st.keys is not None \
                     and (st.keys.shape[0] != t.rows
                          or st.keys.shape[1] != t.lanes):
-                kw = {} if t.wide else {"lanes": int(st.keys.shape[1])}
                 self.tables[s] = type(t)(
                     t.k, rows=int(st.keys.shape[0]),
-                    interpret=t.interpret, tile_rows=t.tile_rows, **kw)
+                    interpret=t.interpret, tile_rows=t.tile_rows,
+                    lanes=int(st.keys.shape[1]))
             elif isinstance(t, HashedTable) \
                     and st.counts.shape[0] != t.capacity:
                 self.tables[s] = HashedTable(t.k, int(st.counts.shape[0]))
