@@ -112,3 +112,39 @@ def test_resume_after_completed_run_reports_totals(tmp_path):
             rep2.max_total_kmers) == (
         rep1.total_processed, rep1.total_printed, rep1.total_skipped,
         rep1.max_total_kmers)
+
+
+def test_wide_table_checkpoint_roundtrip(tmp_path):
+    """keys2 (the wide table's second fingerprint plane) must survive a
+    save/load cycle and resume byte-identically at k=21."""
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    kw = dict(ksize=21, table="bucket", forward_files=(str(T / "2seq.fastq"),),
+              depth=2, batch_reads=1)
+    rep_full = Normalizer(_cfg(a, **kw)).run()
+    out_full = (a / "output_forward.k21_norm2_thread0.fastq").read_bytes()
+
+    cfg_b = _cfg(b, checkpoint_every=1, **kw)
+    n = Normalizer(cfg_b)
+    stop_after = {"count": 0}
+    orig = Normalizer._retire
+
+    def bomb(self, *args):
+        r = orig(self, *args)
+        stop_after["count"] += 1
+        if stop_after["count"] == 2:
+            raise KeyboardInterrupt
+        return r
+
+    Normalizer._retire = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            n.run()
+    finally:
+        Normalizer._retire = orig
+
+    rep = Normalizer(_cfg(b, checkpoint_every=1, resume=True, **kw)).run()
+    out = (b / "output_forward.k21_norm2_thread0.fastq").read_bytes()
+    assert out == out_full
+    assert (rep.total_processed, rep.total_printed) == (
+        rep_full.total_processed, rep_full.total_printed)
