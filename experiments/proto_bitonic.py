@@ -7,7 +7,6 @@ butterflies above. Measures ns/element vs the XLA lax.sort baseline.
 """
 from __future__ import annotations
 
-import sys
 import time
 from functools import partial
 

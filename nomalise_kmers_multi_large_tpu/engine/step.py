@@ -17,7 +17,6 @@ reference itself accepts across threads (README.md:68) — and skips the global 
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
