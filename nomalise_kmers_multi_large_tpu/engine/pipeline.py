@@ -414,43 +414,49 @@ class Normalizer:
 
             pit = (PrefetchIterator(produce(), depth=cfg.prefetch)
                    if cfg.prefetch > 0 else produce())
-            for batch, (bases, lengths, rec_valid) in pit:
-                n = len(batch)
-                if skip:
-                    take = min(skip, n)
-                    skip -= take
-                    records_done += take
-                    if take == n:
-                        continue
-                    batch = self._slice_batch(batch, take, n)
+            try:
+                for batch, (bases, lengths, rec_valid) in pit:
                     n = len(batch)
-                    # resume boundary (rare): re-pack the sliced batch
-                    bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
-                # checkpoint only when nothing is staged or in flight: the
-                # table state must describe exactly the records counted in
-                # records_done
-                if (
-                    ckpt
-                    and cfg.checkpoint_every
-                    and batches_since_ckpt >= cfg.checkpoint_every
-                ):
-                    records_done += drain()
-                    self._checkpoint(ckpt, fi, records_done, rr)
-                    batches_since_ckpt = 0
-                if cfg.debug >= 3:
-                    self._debug_roundtrip(bases, lengths)
-                shard = self._queue_for(rr)
-                rr += 1
-                q = groups.setdefault(shard, [])
-                if q and q[0][1].shape != bases.shape:
-                    # adaptive read-length padding changed the batch shape:
-                    # a scan group must be shape-homogeneous
-                    records_done += flush_shard(shard)
+                    if skip:
+                        take = min(skip, n)
+                        skip -= take
+                        records_done += take
+                        if take == n:
+                            continue
+                        batch = self._slice_batch(batch, take, n)
+                        n = len(batch)
+                        # resume boundary (rare): re-pack the sliced batch
+                        bases, lengths, rec_valid = self._pack(batch, cfg.ksize)
+                    # checkpoint only when nothing is staged or in flight: the
+                    # table state must describe exactly the records counted in
+                    # records_done
+                    if (
+                        ckpt
+                        and cfg.checkpoint_every
+                        and batches_since_ckpt >= cfg.checkpoint_every
+                    ):
+                        records_done += drain()
+                        self._checkpoint(ckpt, fi, records_done, rr)
+                        batches_since_ckpt = 0
+                    if cfg.debug >= 3:
+                        self._debug_roundtrip(bases, lengths)
+                    shard = self._queue_for(rr)
+                    rr += 1
                     q = groups.setdefault(shard, [])
-                q.append((batch, bases, lengths, rec_valid))
-                batches_since_ckpt += 1
-                if len(q) >= cfg.dispatch_group:
-                    records_done += flush_shard(shard)
+                    if q and q[0][1].shape != bases.shape:
+                        # adaptive read-length padding changed the batch shape:
+                        # a scan group must be shape-homogeneous
+                        records_done += flush_shard(shard)
+                        q = groups.setdefault(shard, [])
+                    q.append((batch, bases, lengths, rec_valid))
+                    batches_since_ckpt += 1
+                    if len(q) >= cfg.dispatch_group:
+                        records_done += flush_shard(shard)
+            finally:
+                # stop the prefetch worker on ANY exit (exception or
+                # interrupt) so it never spins against a full queue
+                if isinstance(pit, PrefetchIterator):
+                    pit.close()
             records_done += drain()
 
             # per-file aggregation (reference :1896-1912)
