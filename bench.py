@@ -229,6 +229,12 @@ def main_e2e(n_pairs: int = 100_000):
 
 
 if __name__ == "__main__":
-    main()
-    main_k21()
-    main_e2e()
+    import sys
+    import traceback
+
+    main()  # the headline line the driver records — always first
+    for extra in (main_k21, main_e2e):
+        try:
+            extra()
+        except Exception:  # extras must never void the recorded headline
+            traceback.print_exc(file=sys.stderr)
