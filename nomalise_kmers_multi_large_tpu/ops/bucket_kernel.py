@@ -14,9 +14,10 @@ dense MXU one-hot matmuls over bucket tiles.
 Data structure ("bucket table"):
   - A k-mer code c (2k <= 30 bits) is placed at ``m = mix(c)`` (bijective, see
     ops/mix.py). Bucket row = high bits of m, fingerprint = low ``fp_bits``
-    bits. Each row holds up to 128 distinct codes in its 128 lanes:
-    ``fp[row, lane]`` stores fingerprint+1 (0 = empty), ``counts[row, lane]``
-    the count. Bijectivity makes this EXACT: (row, fingerprint) recovers c.
+    bits. Each row holds up to `lanes` distinct codes (64 default — measured
+    faster than 128; 128 for the wide kernel): ``fp[row, lane]`` stores
+    fingerprint+1 (0 = empty), ``counts[row, lane]`` the count. Bijectivity
+    makes this EXACT: (row, fingerprint) recovers c.
   - Batch windows are sorted by m (one stable 1-key sort — the only
     O(N log N) op), chunked, and each (tile of 128 rows, chunk) pair becomes a
     grid step in megablox style: scalar-prefetched step->tile/chunk maps drive

@@ -6,11 +6,12 @@ with exact sequential semantics, but the layout is designed for the MXU
 instead of per-element probing: codes live in 128-wide bucket rows addressed
 by a bijective mix of the code (ops/mix.py), and the whole batch is processed
 by one fused Pallas kernel (ops/bucket_kernel.py) — no XLA scatter/gather
-anywhere on the hot path.
+anywhere on the hot path. BucketTableWide below extends the design to
+k = 16..31 with two-word Feistel keys and a two-plane fingerprint.
 
 State mapping onto TableState:
-  counts -> int32 [rows, 128] slot counts
-  keys   -> int32 [rows, 128] fingerprint+1 (0 = empty slot)
+  counts -> int32 [rows, lanes] slot counts (lanes = 64 default, see __init__)
+  keys   -> int32 [rows, lanes] fingerprint+1 (0 = empty slot)
   used   -> int32 [] occupied slots (refreshed lazily)
   overflow -> int32 [] dropped inserts (bucket full); nonzero => grow
 
