@@ -13,14 +13,16 @@ Extends the single-device Normalizer to a device mesh:
 
 The streaming loop itself is the parent Normalizer's (_run): staging queues,
 --dispatch-group grouped dispatch, checkpoint/resume, -P dumps, debug record
-lines and growth-during-seed all come from there; this class only overrides
-the dispatch/retire/report hooks. Batches are padded to a multiple of the
+lines and table growth (during seeding AND mid-stream: Mode A grows all
+stacked shard tables together when the fullest one approaches headroom) all
+come from there; this class only overrides the dispatch/retire/report hooks. Batches are padded to a multiple of the
 device count with invalid records (length 0), which contribute nothing in
 exact mode.
 """
 from __future__ import annotations
 
 import dataclasses
+import sys
 
 import numpy as np
 
@@ -109,10 +111,66 @@ class MeshNormalizer(Normalizer):
         return 0  # one staging queue: every dispatch spans all devices
 
     def _maybe_grow(self, shard: int, inflow: int):
-        # growth is supported before the states move onto the mesh (the seed
-        # pass and TSV seeding); mid-stream growth of stacked states is not
+        import jax
+        import jax.numpy as jnp
+
         if self._stacked is None and self._global_state is None and self.states:
+            # before the states move onto the mesh (seed pass, TSV seeding)
             super()._maybe_grow(shard, inflow)
+            return
+        if self.mode_b or self._stacked is None:
+            # Mode B tables are slot-sharded direct/hashed; the direct table
+            # is growth-free by construction and global-table growth is not
+            # supported (the hashed fallback starts at the --memory_start
+            # capacity; saturation surfaces via the overflow warning)
+            return
+        # Mode A mid-stream growth: every shard shares one table descriptor,
+        # so all stacked shard states grow TOGETHER when the fullest shard
+        # approaches headroom (reference expand_local_hash_table semantics
+        # per thread, nk.c:933-934, :1055-1108).
+        t = self.tables[0]
+        headroom = getattr(t, "grow_headroom", None)
+        if headroom is None:
+            return
+        per_shard = inflow / max(self.ndev, 1)  # round-robin deal
+        if self._used_bound[0] + per_shard <= headroom * t.capacity:
+            self._used_bound[0] += per_shard
+            return
+        shard_states = [
+            jax.tree.map(lambda x, i=i: x[i], self._stacked)
+            for i in range(self.ndev)
+        ]
+        used = max(t.used_count(st, self.seeded_lo) for st in shard_states)
+        grew = False
+        while getattr(t, "can_grow", False) \
+                and used + per_shard > headroom * t.capacity:
+            if self.cfg.verbose or self.cfg.debug:
+                print(
+                    f"Mesh: Local hash table expansion triggered on all "
+                    f"{self.ndev} shards, from {t.capacity:,} to "
+                    f"{t.capacity * 2:,} slots each"
+                )
+            grown_states = []
+            for st in shard_states:
+                t2, st2 = self.tables[0].grown(st)
+                grown_states.append(st2)
+            t = t2
+            shard_states = grown_states
+            grew = True
+        if grew:
+            self.tables = [t] * len(self.tables)
+            self._stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *shard_states)
+            # old descriptors are baked into the compiled mode steps: rebuild
+            self._mode_steps.clear()
+            self._steps_cache.clear()
+        if not getattr(t, "can_grow", False) \
+                and used + per_shard > t.capacity * 0.9:
+            print(
+                f"Warning: Mesh: shard tables are still over 90% full after "
+                f"expansion ({used:,})", file=sys.stderr,
+            )
+        self._used_bound[0] = float(used)
 
     def _dispatch_queue(self, shard: int, q: list, paired: bool):
         import jax.numpy as jnp

@@ -153,3 +153,37 @@ def test_seed_pass_grows(tmp_path, fastq):
     n.seed()
     assert n.tables[0].rows > 128
     assert int(n.states[0].overflow) == 0
+
+
+def test_mesh_mode_a_grows_mid_stream(fastq, tmp_path):
+    """Mode A on the mesh grows ALL stacked shard tables together mid-stream
+    and loses no insert — previously growth only worked before the states
+    moved onto the mesh."""
+    from nomalise_kmers_multi_large_tpu.parallel.engine import MeshNormalizer
+
+    def run(sub, tiny):
+        out = tmp_path / sub
+        out.mkdir()
+        cfg = Config(
+            forward_files=(str(fastq),), single=True, ksize=K, depth=4,
+            out_dir=str(out), table="hashed", batch_reads=256,
+        )
+        n = MeshNormalizer(cfg, n_devices=2)
+        if tiny:
+            n.tables = [HashedTable(K, 4096)] * len(n.tables)
+            n.states = [n.tables[0].init()]
+        rep = n.run()
+        return n, rep, out
+
+    nt, rt, out_t = run("tiny", tiny=True)
+    nb, rb, out_b = run("big", tiny=False)
+    assert nt.tables[0].capacity > 4096, "mid-stream mesh growth never fired"
+    for s in range(2):
+        assert int(nt.shard_state(s).overflow) == 0
+    assert (rt.total_processed, rt.total_printed, rt.total_skipped) == (
+        rb.total_processed, rb.total_printed, rb.total_skipped)
+    # identical per-shard outputs: growth must be decision-transparent
+    for s in range(2):
+        f1 = out_t / f"output_forward.k{K}_norm2_thread{s}.fastq"
+        f2 = out_b / f"output_forward.k{K}_norm2_thread{s}.fastq"
+        assert f1.read_bytes() == f2.read_bytes()
