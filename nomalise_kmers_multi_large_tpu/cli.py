@@ -189,15 +189,16 @@ def main(argv=None) -> int:
         cap, bytes_per_slot = 4 ** cfg.ksize, 4
     elif cfg.table_kind == "bucket":
         from nomalise_kmers_multi_large_tpu.table.bucket import (
-            LANES, default_rows, default_rows_wide,
+            DEFAULT_LANES, default_rows, default_rows_wide,
         )
 
         mem = cfg.memory_gb * (1 << 30) if cfg.memory_gb else None
         if cfg.ksize > 15:
-            cap = default_rows_wide(cfg.ksize, mem) * LANES
+            cap = default_rows_wide(cfg.ksize, mem) * DEFAULT_LANES
             bytes_per_slot = 12 if cfg.ksize > 16 else 8
         else:
-            cap, bytes_per_slot = default_rows(cfg.ksize, mem) * LANES, 8
+            cap = default_rows(cfg.ksize, mem) * DEFAULT_LANES
+            bytes_per_slot = 8
     else:
         cap, bytes_per_slot = cfg.initial_hash_capacity, 12
     print(

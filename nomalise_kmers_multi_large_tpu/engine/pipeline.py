@@ -141,7 +141,9 @@ class Normalizer:
                 f"Warning: Thread {shard}: Local hash table is still over 90% "
                 f"full after expansion ({used:,})", file=sys.stderr,
             )
-        self._used_bound[shard] = float(used)
+        # invariant: used at last check + every window dispatched since — the
+        # inflow that triggered this check is dispatched immediately after it
+        self._used_bound[shard] = float(used) + inflow
 
     def _pad_for(self, max_len: int) -> int:
         k = self.cfg.ksize
@@ -315,6 +317,7 @@ class Normalizer:
                 self._install_resumed_states(states)
                 self._rebuild_tables_from_states()
                 self.seeded_lo = resume.seeded_lo
+                self._reseed_used_bounds()
                 for c, saved in zip(self.counters, resume.counters):
                     c.processed = saved["processed"]
                     c.printed = saved["printed"]
@@ -651,6 +654,26 @@ class Normalizer:
             print(f"FWD seq: {fh}\n{fs}\nREV seq: {rh}\n{rs}")
         else:
             print(f"FWD seq: {fh}\n{fs}")
+
+    def _reseed_used_bounds(self):
+        """After resume, prime the host-side occupancy bounds from the real
+        checkpointed occupancy. Left at 0.0 the engine could dispatch up to
+        headroom*capacity windows with no growth check and a table resumed
+        near its trigger point could saturate (silently dropped inserts)."""
+        for s, st in enumerate(self.states):
+            t = self.tables[min(s, len(self.tables) - 1)]
+            if getattr(t, "grow_headroom", None) is None:
+                continue
+            b = float(t.used_count(st, self.seeded_lo))
+            if s < len(self._used_bound):
+                self._used_bound[s] = b
+        # mesh engines gate every growth check on bound[0] (shared descriptor):
+        # it must reflect the FULLEST shard
+        if len(self.states) > 1 and len(self._used_bound) >= 1 \
+                and getattr(self.tables[0], "grow_headroom", None) is not None:
+            self._used_bound[0] = max(
+                self._used_bound[s] for s in range(
+                    min(len(self.states), len(self._used_bound))))
 
     def _rebuild_tables_from_states(self):
         """After resume, table descriptors must match the (possibly grown)

@@ -152,7 +152,10 @@ class MeshNormalizer(Normalizer):
                 )
             grown_states = []
             for st in shard_states:
-                t2, st2 = self.tables[0].grown(st)
+                # grow from the CURRENT descriptor `t`, not tables[0]: on a
+                # second doubling within one check the stale descriptor would
+                # remap with the wrong fingerprint bit (silent corruption)
+                t2, st2 = t.grown(st)
                 grown_states.append(st2)
             t = t2
             shard_states = grown_states
@@ -170,7 +173,9 @@ class MeshNormalizer(Normalizer):
                 f"Warning: Mesh: shard tables are still over 90% full after "
                 f"expansion ({used:,})", file=sys.stderr,
             )
-        self._used_bound[0] = float(used)
+        # invariant: used at last check + every window dispatched since —
+        # include the inflow dispatched immediately after this check
+        self._used_bound[0] = float(used) + per_shard
 
     def _dispatch_queue(self, shard: int, q: list, paired: bool):
         import jax.numpy as jnp

@@ -3,7 +3,8 @@
 The production table for the TPU engine. Capabilities match the reference's
 open-addressing table (``store_kmer`` normalise_kmers_multi_large.c:929-1053)
 with exact sequential semantics, but the layout is designed for the MXU
-instead of per-element probing: codes live in 128-wide bucket rows addressed
+instead of per-element probing: codes live in lane-wide bucket rows (64
+slots by default) addressed
 by a bijective mix of the code (ops/mix.py), and the whole batch is processed
 by one fused Pallas kernel (ops/bucket_kernel.py) — no XLA scatter/gather
 anywhere on the hot path. BucketTableWide below extends the design to
@@ -38,22 +39,29 @@ from nomalise_kmers_multi_large_tpu.ops.mix import (
 from nomalise_kmers_multi_large_tpu.table.base import CountTable, TableState
 
 
-def default_rows(k: int, memory_bytes: Optional[int] = None) -> int:
+#: default slots per bucket row (the production tables below); the cli
+#: startup report and default_rows* size tables with this value, NOT the
+#: kernel's 128-lane tile constant
+DEFAULT_LANES = 64
+
+
+def default_rows(k: int, memory_bytes: Optional[int] = None,
+                 lanes: int = DEFAULT_LANES) -> int:
     """Pick bucket-row count: enough rows that fingerprints fit 16 bits
     (rows >= 4^k / 2^16), at least one 128-row tile, and — when a memory
     budget is given (reference --memory_start semantics, nk.c:676) — about
-    8 bytes per slot of budget, capped at 4^k codes / 64 per-row headroom."""
+    8 bytes per slot of budget, capped at 4^k codes / lanes per-row headroom."""
     floor = max(128, (4 ** k) >> 16)
     # --memory_start describes the reference's HOST-RAM model (16 B/slot/cpu);
-    # our table lives in HBM, so cap rows at 2^20 (1 GiB of fp+count state =
-    # 128M slots) regardless of the flag — overflow-triggered growth covers
-    # the rare row that fills its 128 lanes.
-    ceiling = max(floor, min(4 ** k // 64, 1 << 20))
+    # our table lives in HBM, so cap rows at 2^21 (1 GiB of fp+count state at
+    # 64 lanes) regardless of the flag — overflow-triggered growth covers
+    # the rare row that fills all its lanes.
+    ceiling = max(floor, min(4 ** k // lanes, 1 << 21))
     if memory_bytes is None:
         rows = max(floor, 16384 if k >= 13 else floor)
     else:
         rows = floor
-        while rows * LANES * 8 * 2 <= memory_bytes and rows < ceiling:
+        while rows * lanes * 8 * 2 <= memory_bytes and rows < ceiling:
             rows *= 2
     return min(max(rows, floor), ceiling)
 
@@ -250,18 +258,19 @@ class BucketTable(CountTable):
 # ======================================================================
 
 
-def default_rows_wide(k: int, memory_bytes: Optional[int] = None) -> int:
+def default_rows_wide(k: int, memory_bytes: Optional[int] = None,
+                      lanes: int = DEFAULT_LANES) -> int:
     """Row count for the wide table. 4^k dwarfs any memory for k > 15, so
-    this is a pure capacity choice: 2^14 rows (2M slots, ~24 MB) by default —
-    overflow/occupancy-triggered growth (engine) covers deeper data — or as
-    much of --memory_start's budget as fits below the 2^20-row ceiling
-    (reference --memory_start semantics, nk.c:676)."""
+    this is a pure capacity choice: 2^14 rows (1M slots at 64 lanes, ~12 MB)
+    by default — overflow/occupancy-triggered growth (engine) covers deeper
+    data — or as much of --memory_start's budget as fits below the 2^20-row
+    ceiling (reference --memory_start semantics, nk.c:676)."""
     floor, ceiling = 1 << 14, 1 << 20
     if memory_bytes is None:
         return floor
     bps = 8 if k == 16 else 12              # bytes/slot: 2 or 3 int32 planes
     rows = floor
-    while rows * LANES * bps * 2 <= memory_bytes and rows < ceiling:
+    while rows * lanes * bps * 2 <= memory_bytes and rows < ceiling:
         rows *= 2
     return rows
 
@@ -269,7 +278,7 @@ def default_rows_wide(k: int, memory_bytes: Optional[int] = None) -> int:
 class BucketTableWide(BucketTable):
     """Exact bucket table for k = 16..31 (codes up to 62 bits).
 
-    Same design as BucketTable — 128-lane bucket rows addressed by a bijective
+    Same design as BucketTable — lane-wide bucket rows addressed by a bijective
     mix of the code, one fused Pallas kernel per batch — but the mix is the
     two-word Feistel of ops/mix.py and the fingerprint spans TWO planes:
     ``keys`` holds (w1 & (2^row_shift - 1)) + 1 (0 = empty) and ``keys2``
