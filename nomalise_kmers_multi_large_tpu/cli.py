@@ -155,6 +155,8 @@ def main(argv=None) -> int:
 
     import dataclasses
 
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
     from nomalise_kmers_multi_large_tpu.parallel.multihost import (
         aggregate_report,
         assign_files,

@@ -74,6 +74,7 @@ LANES = 128          # slots (distinct codes) per bucket row
 TILE_ROWS = 128      # bucket rows per grid tile
 SUB = 2048           # elements per lane-major sub-slice
 _SENT = jnp.uint32(0xFFFFFFFF)
+_RID_BITS = 14       # read-id bits packed into spare w2 bits (n_reads <= 16384)
 
 
 class BucketBatchOut(NamedTuple):
@@ -841,11 +842,27 @@ def bucket_batch_wide(
         k1 = jnp.concatenate([k1, jnp.full((pad,), _SENT, jnp.uint32)])
         k2 = jnp.concatenate([k2, jnp.full((pad,), _SENT, jnp.uint32)])
     rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
-    # 3-key even for b == 32: w2 distinguishes the sentinel pair from the one
-    # REAL code whose w1 mixes to 0xFFFFFFFF, which a 2-key sort + w2
-    # reconstruction would silently drop
-    skey1, skey2, srid = jax.lax.sort(
-        (k1, k2, rid), num_keys=3, is_stable=False)
+    # w2 carries only b-32 real bits; whenever b-32 + 14 rid bits fit BELOW
+    # the sentinel (k <= 24), pack rid into w2's spare low bits and sort TWO
+    # operands instead of three — each sort operand costs ~0.8 ns/element
+    # (experiments/perf_sort_r3.py), so this takes ~30% off the wide step.
+    # Order is unchanged: (w1, (w2 << 14) | rid) sorts exactly like
+    # (w1, w2, rid). A real packed word stays < 2^31 < 0xFFFFFFFF, so the
+    # sentinel (and with it window validity, pb != -1 in the kernel) survives
+    # even for the one REAL code whose w1 mixes to 0xFFFFFFFF — the case that
+    # forces 3 keys when w2 has no spare bits (k >= 25).
+    if (b - 32) + _RID_BITS <= 31:
+        k2p = jnp.where(
+            k2 == _SENT, _SENT,
+            (k2 << jnp.uint32(_RID_BITS)) | rid.astype(jnp.uint32))
+        skey1, sk2p = jax.lax.sort((k1, k2p), num_keys=2, is_stable=False)
+        srid = jax.lax.bitcast_convert_type(
+            sk2p & jnp.uint32((1 << _RID_BITS) - 1), jnp.int32)
+        skey2 = jnp.where(sk2p == _SENT, _SENT,
+                          sk2p >> jnp.uint32(_RID_BITS))
+    else:
+        skey1, skey2, srid = jax.lax.sort(
+            (k1, k2, rid), num_keys=3, is_stable=False)
 
     p2f, p3f = rank_cand_scan(skey1, srid, fp_bits=0, w=w, n_reads=n_reads,
                               interpret=interpret, skey2=skey2,
