@@ -94,7 +94,7 @@ def _onehot(cond):
 def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             lanes: int, seed: bool, ablate: frozenset,
             # prefetch
-            step_tile, step_chunk, step_active,
+            step_tile, step_chunk, step_active, step_skip,
             # inputs
             p1_ref, p2_ref, p3_ref, fp_in_ref, cnt_in_ref,
             # outputs
@@ -105,6 +105,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
     nsteps = pl.num_programs(0)
     tile = step_tile[s]
     active = step_active[s] != 0
+    skipbits = step_skip[s]
     prev_tile = step_tile[jnp.maximum(s - 1, 0)]
     next_tile = step_tile[jnp.minimum(s + 1, nsteps - 1)]
     is_first = jnp.logical_or(s == 0, prev_tile != tile)
@@ -140,19 +141,17 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
     def sub_out_of_tile(i):
         """Scalar predicate: sub-slice i has NO element in this step's tile.
 
-        Rows ascend within a chunk (the stream is key-sorted), so peeking at
-        the first/last element decides the whole sub-slice. Tile-crossing
-        steps re-walk a whole chunk for the next tile; without this guard
-        every crossing costs a full chunk of MXU work (~50% of the kernel at
-        chunk ~= tile-run size, measured in experiments/perf_pipeline_ablate
-        .py). Sentinel pads (key 0xFFFFFFFF) get grow = 65535 via the logical
-        shift and are skipped too; inactive pad steps (tile_eff = -2) skip
-        every sub-slice.
+        Rows ascend within a chunk (the stream is key-sorted), so the
+        first/last element decides the whole sub-slice. Tile-crossing steps
+        re-walk a whole chunk for the next tile; without this guard every
+        crossing costs a full chunk of MXU work (~50% of the kernel at
+        chunk ~= tile-run size). The per-(step, sub) verdicts are precomputed
+        on the XLA side and shipped as a scalar-prefetched BITMASK
+        (bucket_batch `step_skip`): the previous in-kernel version peeked at
+        p1_ref[i, 0]/[i, SUB-1] — two serialized VMEM scalar loads in front
+        of every lax.cond, ~32 per grid step across both passes.
         """
-        first_g = jax.lax.shift_right_logical(p1_ref[i, 0], fp_bits)
-        last_g = jax.lax.shift_right_logical(p1_ref[i, SUB - 1], fp_bits)
-        return jnp.logical_or(last_g < tile_eff * R,
-                              first_g >= (tile_eff + 1) * R)
+        return ((skipbits >> i) & 1) == 1
 
     mm = partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
     # contract dim 0 of both: (R, P) x (R, E) -> (P, E)
@@ -454,29 +453,49 @@ def bucket_batch(
     step_tilev = jnp.where(active, step_tilev, last_tile)
     step_chunkv = jnp.where(active, step_chunkv, last_chunk)
 
+    # per-(step, sub) skip verdicts, packed as one bitmask scalar per step
+    # (subs <= 16): same first/last-element row test the kernel used to do
+    # with VMEM scalar peeks, now a single SMEM prefetch read per step
+    sg_first = jax.lax.bitcast_convert_type(
+        jax.lax.shift_right_logical(skey[0::SUB], jnp.uint32(fp_bits)),
+        jnp.int32).reshape(n_chunks, subs)
+    sg_last = jax.lax.bitcast_convert_type(
+        jax.lax.shift_right_logical(skey[SUB - 1::SUB], jnp.uint32(fp_bits)),
+        jnp.int32).reshape(n_chunks, subs)
+    te = jnp.where(active, step_tilev, -2)[:, None]          # (n_steps, 1)
+    skip = (sg_last[step_chunkv] < te * tile_rows) \
+        | (sg_first[step_chunkv] >= (te + 1) * tile_rows)
+    step_skipv = jnp.sum(
+        skip.astype(jnp.int32) << jnp.arange(subs, dtype=jnp.int32)[None, :],
+        axis=1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sk: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sk: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
+            pl.BlockSpec((subs, SUB), lambda s, st, sc, sa, sk: (sc[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes),
+                         lambda s, st, sc, sa, sk: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes),
+                         lambda s, st, sc, sa, sk: (st[s], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes),
+                         lambda s, st, sc, sa, sk: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, lanes), lambda s, st, sc, sa: (st[s], 0),
+            pl.BlockSpec((tile_rows, lanes),
+                         lambda s, st, sc, sa, sk: (st[s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda s, st, sc, sa: (0, 0),
+            pl.BlockSpec((128, 128), lambda s, st, sc, sa, sk: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda s, st, sc, sa: (0, 0),
+            pl.BlockSpec((8, 128), lambda s, st, sc, sa, sk: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -495,13 +514,13 @@ def bucket_batch(
             jax.ShapeDtypeStruct((128, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
-        # tensor operand order: 3 prefetch + [p1, p2, p3, fp, counts]
-        input_output_aliases={6: 0, 7: 1},
+        # tensor operand order: 4 prefetch + [p1, p2, p3, fp, counts]
+        input_output_aliases={7: 0, 8: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        step_tilev, step_chunkv, active.astype(jnp.int32),
+        step_tilev, step_chunkv, active.astype(jnp.int32), step_skipv,
         p1, p2, p3, fp, counts,
     )
 
@@ -552,7 +571,7 @@ class BucketBatchWideOut(NamedTuple):
 def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
                  tile_rows: int, lanes: int, seed: bool,
                  # prefetch
-                 step_tile, step_chunk, step_active,
+                 step_tile, step_chunk, step_active, step_skip,
                  *refs):
     has_b = nB > 0
     if has_b:
@@ -569,6 +588,7 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
     nsteps = pl.num_programs(0)
     tile = step_tile[s]
     active = step_active[s] != 0
+    skipbits = step_skip[s]
     prev_tile = step_tile[jnp.maximum(s - 1, 0)]
     next_tile = step_tile[jnp.minimum(s + 1, nsteps - 1)]
     is_first = jnp.logical_or(s == 0, prev_tile != tile)
@@ -597,13 +617,13 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
     li128 = jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0)
 
     def sub_out_of_tile(i):
-        """Same fast-skip as the narrow kernel; sentinels map to the LAST row
-        (w1 = all-ones >> row_shift = 2^rb - 1), so they are only skipped via
-        `valid` below, never via row range."""
-        first_g = jax.lax.shift_right_logical(p1_ref[i, 0], row_shift)
-        last_g = jax.lax.shift_right_logical(p1_ref[i, SUB - 1], row_shift)
-        return jnp.logical_or(last_g < tile_eff * R,
-                              first_g >= (tile_eff + 1) * R)
+        """Same fast-skip as the narrow kernel, via the precomputed scalar-
+        prefetch bitmask (one SMEM read per step instead of two VMEM scalar
+        loads per sub per pass). The mask ALSO flags all-sentinel subs, which
+        the old row-range test could not (sentinels map to the last real
+        row); real elements are never skipped: a sub with any real element
+        has a non-sentinel first element."""
+        return ((skipbits >> i) & 1) == 1
 
     mm = partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
     mm_00 = lambda a, b: mm(a, b, (((0,), (0,)), ((), ())))
@@ -905,16 +925,37 @@ def bucket_batch_wide(
     step_tilev = jnp.where(active, step_tilev, last_tile)
     step_chunkv = jnp.where(active, step_chunkv, last_chunk)
 
-    stream_spec = pl.BlockSpec((subs, SUB), lambda s, st, sc, sa: (sc[s], 0),
+    # per-(step, sub) skip bitmask (see the narrow kernel). An all-sentinel
+    # sub is also skipped outright: sentinels sort last, so its FIRST element
+    # being a sentinel proves the sub holds no real work (the in-kernel
+    # row-range test could not skip these — sentinel w1 maps to the last
+    # real row).
+    sg_first = jax.lax.bitcast_convert_type(
+        jax.lax.shift_right_logical(skey1[0::SUB], jnp.uint32(row_shift)),
+        jnp.int32).reshape(n_chunks, subs)
+    sg_last = jax.lax.bitcast_convert_type(
+        jax.lax.shift_right_logical(skey1[SUB - 1::SUB], jnp.uint32(row_shift)),
+        jnp.int32).reshape(n_chunks, subs)
+    all_sent = (skey2[0::SUB] == _SENT).reshape(n_chunks, subs)
+    te = jnp.where(active, step_tilev, -2)[:, None]          # (n_steps, 1)
+    skip = (sg_last[step_chunkv] < te * tile_rows) \
+        | (sg_first[step_chunkv] >= (te + 1) * tile_rows) \
+        | all_sent[step_chunkv]
+    step_skipv = jnp.sum(
+        skip.astype(jnp.int32) << jnp.arange(subs, dtype=jnp.int32)[None, :],
+        axis=1)
+
+    stream_spec = pl.BlockSpec((subs, SUB),
+                               lambda s, st, sc, sa, sk: (sc[s], 0),
                                memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((tile_rows, lanes),
-                             lambda s, st, sc, sa: (st[s], 0),
+                             lambda s, st, sc, sa, sk: (st[s], 0),
                              memory_space=pltpu.VMEM)
     in_specs = [stream_spec] * 4 + [tile_spec] * (3 if has_b else 2)
     out_specs = [tile_spec] * (3 if has_b else 2) + [
-        pl.BlockSpec((128, 128), lambda s, st, sc, sa: (0, 0),
+        pl.BlockSpec((128, 128), lambda s, st, sc, sa, sk: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, 128), lambda s, st, sc, sa: (0, 0),
+        pl.BlockSpec((8, 128), lambda s, st, sc, sa, sk: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((rows, lanes), jnp.int32)] \
@@ -923,7 +964,7 @@ def bucket_batch_wide(
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -933,12 +974,12 @@ def bucket_batch_wide(
         ],
     )
 
-    # tensor operand order: 3 prefetch + [p1, pb, p2, p3, fpA, (fpB), counts]
+    # tensor operand order: 4 prefetch + [p1, pb, p2, p3, fpA, (fpB), counts]
     if has_b:
-        aliases = {7: 0, 8: 1, 9: 2}
+        aliases = {8: 0, 9: 1, 10: 2}
         operands = (p1, pb, p2, p3, fpA, fpB, counts)
     else:
-        aliases = {7: 0, 8: 1}
+        aliases = {8: 0, 9: 1}
         operands = (p1, pb, p2, p3, fpA, counts)
 
     outs = pl.pallas_call(
@@ -950,7 +991,8 @@ def bucket_batch_wide(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(step_tilev, step_chunkv, active.astype(jnp.int32), *operands)
+    )(step_tilev, step_chunkv, active.astype(jnp.int32), step_skipv,
+      *operands)
 
     if has_b:
         fpA2, fpB2, counts2, recsum, stats = outs
