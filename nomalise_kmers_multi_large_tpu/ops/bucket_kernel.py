@@ -349,6 +349,7 @@ def bucket_batch(
     chunk: int = 16384, tile_rows: int = TILE_ROWS, lanes: int = LANES,
     seed: bool = False,
     keyed: bool = False, interpret: bool = False, ablate: tuple = (),
+    rid_flat=None, n_reads: int = 0, fp_bits: int = 0,
 ):
     """Run one batch through the bucket table.
 
@@ -364,18 +365,28 @@ def bucket_batch(
       seed: insert-without-counting mode (reference seed pass semantics).
       keyed: mixed_flat already carries the sentinel for invalid windows
         (ops/encode_kernel.py output); valid_flat is ignored and may be None.
+      rid_flat: optional int32 [N] explicit read id per element (Mode B
+        routed streams, parallel/modes.py: elements arrive from other shards
+        without the i // W position structure). Requires n_reads.
+      n_reads: reads covered by high_per_read when rid_flat is given.
+      fp_bits: override the fingerprint-bit count (Mode B row-range shards:
+        a shard holds rows/D rows of the GLOBAL table, but fingerprints keep
+        the global width; keys arrive already rebased to the shard).
 
-    Returns BucketBatchOut. high_per_read covers n_reads = N // W reads.
+    Returns BucketBatchOut. high_per_read covers n_reads reads.
     """
     n = mixed_flat.shape[0]
     w = windows_per_read
-    n_reads = n // w
-    assert n_reads * w == n
+    if rid_flat is None:
+        n_reads = n // w
+        assert n_reads * w == n
+    else:
+        assert n_reads > 0
     assert n_reads <= 16384, "recsum block covers 16384 reads per batch"
     assert depth <= 65535
     rb = int(np.log2(rows))
     assert rows == 1 << rb
-    fp_bits = 2 * k - rb
+    fp_bits = fp_bits or (2 * k - rb)
     assert 1 <= fp_bits <= 16, (
         f"need rows >= 4^k/2^16: k={k} rows={rows} -> fp_bits={fp_bits}")
     tb = int(np.log2(tile_rows))
@@ -405,7 +416,13 @@ def bucket_batch(
     # assignment among equal copies is tally-invariant (the read's high-window
     # count is the same whichever copy takes which rank), so keep/skip
     # decisions, per-read tallies, and table counts are all unchanged.
-    rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
+    if rid_flat is None:
+        rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
+    else:
+        rid = jnp.clip(rid_flat, 0, n_reads - 1)
+        if pad:
+            rid = jnp.concatenate(
+                [rid, jnp.full((pad,), n_reads - 1, jnp.int32)])
     skey, srid = jax.lax.sort((key, rid), num_keys=2, is_stable=False)
 
     # rank within equal-code run + candidate index within bucket row, fused
@@ -813,6 +830,7 @@ def bucket_batch_wide(
     chunk: int = 16384, tile_rows: int = TILE_ROWS, lanes: int = LANES,
     seed: bool = False,
     keyed: bool = False, interpret: bool = False,
+    rid_flat=None, n_reads: int = 0, row_shift: int = 0,
 ):
     """One batch through the WIDE bucket table (k = 16..31).
 
@@ -822,13 +840,19 @@ def bucket_batch_wide(
         feistel_words) in stream order.
       keyed: words already carry the sentinel PAIR for invalid windows
         (ops/encode_kernel.py encode_keys_wide); valid_flat ignored.
+      rid_flat / n_reads / row_shift: Mode B row-range sharding support,
+        exactly as in bucket_batch (row_shift plays fp_bits' role: a shard's
+        w1 keys arrive rebased but keep the global fingerprint width).
 
     Returns BucketBatchWideOut.
     """
     n = w1_flat.shape[0]
     w = windows_per_read
-    n_reads = n // w
-    assert n_reads * w == n
+    if rid_flat is None:
+        n_reads = n // w
+        assert n_reads * w == n
+    else:
+        assert n_reads > 0
     assert n_reads <= 16384
     assert depth <= 65535
     b = 2 * k
@@ -836,7 +860,7 @@ def bucket_batch_wide(
     rb = int(np.log2(rows))
     assert rows == 1 << rb and rb >= 9, (
         f"wide bucket table needs rows >= 512, got {rows}")
-    row_shift = 32 - rb                  # fpA bits; fpA value <= 2^row_shift
+    row_shift = row_shift or (32 - rb)   # fpA bits; fpA value <= 2^row_shift
     nA = (row_shift + 1 + 7) // 8        # 8-bit limbs covering fpA (+1 offset)
     nB = (b - 32 + 7) // 8               # limbs covering fpB = w2
     has_b = nB > 0
@@ -861,7 +885,13 @@ def bucket_batch_wide(
     if pad:
         k1 = jnp.concatenate([k1, jnp.full((pad,), _SENT, jnp.uint32)])
         k2 = jnp.concatenate([k2, jnp.full((pad,), _SENT, jnp.uint32)])
-    rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
+    if rid_flat is None:
+        rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
+    else:
+        rid = jnp.clip(rid_flat, 0, n_reads - 1)
+        if pad:
+            rid = jnp.concatenate(
+                [rid, jnp.full((pad,), n_reads - 1, jnp.int32)])
     # w2 carries only b-32 real bits; whenever b-32 + 14 rid bits fit BELOW
     # the sentinel (k <= 24), pack rid into w2's spare low bits and sort TWO
     # operands instead of three — each sort operand costs ~0.8 ns/element
