@@ -64,6 +64,7 @@ class Normalizer:
         self.writers: Optional[list[ShardWriter]] = None
         self.seeded_lo: Optional[np.ndarray] = None  # host set of seeded codes
         self._pad = 0  # adaptive padded read length (static per compiled step)
+        self._warned_long_reads = False
         self._steps_cache: dict = {}
         #: host-side upper bound on each shard's table occupancy: real `used`
         #: at the last device check plus every window dispatched since. Growth
@@ -148,6 +149,18 @@ class Normalizer:
     def _pad_for(self, max_len: int) -> int:
         k = self.cfg.ksize
         need = max(int(max_len), k)
+        if need > self.cfg.max_read_len and not self._warned_long_reads:
+            # the encode kernels count at most max_read_len (1023) bases per
+            # read (reference MAX_LINE_LENGTH nk.c:139, where longer lines are
+            # a fatal framing error); we write the record in full but windows
+            # past the cap do not contribute to counts or the keep decision
+            self._warned_long_reads = True
+            print(
+                f"Warning: reads longer than {self.cfg.max_read_len} bp "
+                f"found (up to {need}); only the first "
+                f"{self.cfg.max_read_len} bases of each read are counted "
+                "(records are still written in full)", file=sys.stderr,
+            )
         if self.cfg.pad_read_len:
             return self.cfg.pad_read_len
         if need > self._pad:

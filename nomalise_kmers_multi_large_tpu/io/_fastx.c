@@ -13,12 +13,7 @@
 
 /* byte -> 2-bit base code; N folds to A (replacestr N->A, nk.c:1406);
  * everything else = 255 (invalid => caller reports the reference's fatal
- * "does not appear to be a DNA sequence"). */
-static const uint8_t LUT[256] = {
-    ['A'] = 0, ['C'] = 1, ['G'] = 2, ['T'] = 3, ['N'] = 0,
-    /* all other entries default to 0; fixed up in init below */
-};
-
+ * "does not appear to be a DNA sequence"). Built lazily by init_lut. */
 static uint8_t lut_full[256];
 static int lut_ready = 0;
 

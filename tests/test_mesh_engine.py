@@ -33,7 +33,6 @@ def test_mode_a_multi_device_single_end(tmp_path):
         assert p.exists(), p
         total += len(_read_records(p))
     assert total == rep.total_printed
-    assert all(c.unique_kmers > 0 for c in []) or True
 
 
 def test_mode_b_multi_device_matches_single_device(tmp_path):
