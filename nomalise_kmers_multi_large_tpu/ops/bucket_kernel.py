@@ -858,8 +858,14 @@ def bucket_batch_wide(
     b = 2 * k
     assert 32 <= b <= 62
     rb = int(np.log2(rows))
-    assert rows == 1 << rb and rb >= 9, (
-        f"wide bucket table needs rows >= 512, got {rows}")
+    assert rows == 1 << rb, f"rows must be a power of two, got {rows}"
+    if row_shift:
+        # Mode B row-range shard: `rows` is the LOCAL row count but the
+        # fingerprint keeps the GLOBAL width; only that width is constrained
+        assert row_shift <= 23, (
+            f"global wide table needs >= 512 rows (row_shift {row_shift})")
+    else:
+        assert rb >= 9, f"wide bucket table needs rows >= 512, got {rows}"
     row_shift = row_shift or (32 - rb)   # fpA bits; fpA value <= 2^row_shift
     nA = (row_shift + 1 + 7) // 8        # 8-bit limbs covering fpA (+1 offset)
     nB = (b - 32 + 7) // 8               # limbs covering fpB = w2

@@ -30,12 +30,16 @@ from nomalise_kmers_multi_large_tpu.config import Config
 from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
 from nomalise_kmers_multi_large_tpu.engine.step import BatchStep
 from nomalise_kmers_multi_large_tpu.parallel.mesh import data_mesh
-from nomalise_kmers_multi_large_tpu.parallel.modes import ModeAStep, ModeBStep
+from nomalise_kmers_multi_large_tpu.parallel.modes import (
+    ModeAStep, ModeBBucketStep, ModeBStep,
+)
 
 
 class MeshNormalizer(Normalizer):
     def __init__(self, cfg: Config, n_devices: int = 0):
         import jax
+
+        from nomalise_kmers_multi_large_tpu.config import ConfigError
 
         ndev = n_devices or cfg.n_devices or jax.device_count()
         self.ndev = ndev
@@ -43,29 +47,43 @@ class MeshNormalizer(Normalizer):
         if self.mode_b:
             eff = cfg if cfg.shards == 1 else dataclasses.replace(cfg, shards=1)
             if eff.table_kind == "bucket":
-                # the bucket table's [rows, 128] state has no lane-shardable
-                # axis and its pallas_call cannot be GSPMD-partitioned; Mode B
-                # needs a slot-shardable table. Explicit --table bucket is a
-                # config error; auto falls back to the direct table, whose
-                # count array Mode B shards on the slot axis.
-                from nomalise_kmers_multi_large_tpu.config import ConfigError
-
-                if cfg.table == "bucket":
+                # production Mode B: the bucket table row-range-sharded over
+                # the mesh with explicit all_to_all k-mer routing
+                # (ModeBBucketStep; SURVEY.md section 5.8's north star).
+                # Ownership = the key's top log2(D) bits, so D must be a
+                # power of two.
+                if ndev & (ndev - 1):
                     raise ConfigError(
-                        "--sharding global does not support --table bucket; "
-                        "use --table direct (k<=15) or hashed, or keep "
-                        "--sharding local"
-                    )
-                eff = dataclasses.replace(
-                    eff, table="direct" if eff.ksize <= 15 else "hashed")
-                print(
-                    "NOTE: --sharding global uses the "
-                    f"{eff.table} table (the bucket table is local-mode only)"
-                )
+                        f"--sharding global --table bucket needs a "
+                        f"power-of-two device count, got {ndev}")
+                rpr = 2 if cfg.reverse_files else 1
+                if cfg.batch_reads * rpr > 16384:
+                    raise ConfigError(
+                        f"--sharding global --table bucket routes the whole "
+                        f"batch through one global read-id space capped at "
+                        f"16384 rows; --batch-reads {cfg.batch_reads} "
+                        f"{'pairs' if rpr == 2 else 'reads'} exceeds it")
         else:
-            # Mode A: one shard per device (reference cpus -> devices)
+            # Mode A: one shard per device (reference cpus -> devices). The
+            # reference lets the user pick the thread count (-p, nk.c:674) —
+            # depth_per_cpu and output names depend on it — so an explicit
+            # --cpu that disagrees with the device count is surfaced, not
+            # silently overridden.
+            if cfg.shards not in (1, ndev):
+                print(
+                    f"NOTE: --cpu {cfg.shards} overridden to the device "
+                    f"count ({ndev}): mesh shards map 1:1 onto devices "
+                    f"(depth/shard and output names follow the device "
+                    f"count)", file=sys.stderr)
             eff = cfg if cfg.shards == ndev else dataclasses.replace(cfg, shards=ndev)
         super().__init__(eff, _single_state=True)
+        if self.mode_b and self.cfg.table_kind == "bucket":
+            t = self.tables[0]
+            if t.rows % ndev or (t.rows // ndev) < t.tile_rows:
+                raise ConfigError(
+                    f"global bucket table rows ({t.rows}) must split into "
+                    f">= {t.tile_rows}-row shards across {ndev} devices; "
+                    f"raise --memory_start")
         self.mesh = data_mesh(ndev)
         self._mode_steps: dict = {}
         self._stacked = None       # Mode A stacked states
@@ -87,7 +105,12 @@ class MeshNormalizer(Normalizer):
                 pair_rule=self.cfg.pair_rule,
                 stride=self.cfg.stride,
             )
-            cls = ModeBStep if self.mode_b else ModeAStep
+            if not self.mode_b:
+                cls = ModeAStep
+            elif self.cfg.table_kind == "bucket":
+                cls = ModeBBucketStep
+            else:
+                cls = ModeBStep
             self._mode_steps[key] = cls(self.mesh, base)
         return self._mode_steps[key]
 
@@ -118,11 +141,15 @@ class MeshNormalizer(Normalizer):
             # before the states move onto the mesh (seed pass, TSV seeding)
             super()._maybe_grow(shard, inflow)
             return
-        if self.mode_b or self._stacked is None:
-            # Mode B tables are slot-sharded direct/hashed; the direct table
-            # is growth-free by construction and global-table growth is not
-            # supported (the hashed fallback starts at the --memory_start
-            # capacity; saturation surfaces via the overflow warning)
+        if self.mode_b:
+            if self._global_state is not None \
+                    and self.cfg.table_kind == "bucket":
+                self._maybe_grow_global(inflow)
+            # direct is growth-free by construction; hashed Mode B growth is
+            # not supported (starts at the --memory_start capacity;
+            # saturation surfaces via the overflow warning)
+            return
+        if self._stacked is None:
             return
         # Mode A mid-stream growth: every shard shares one table descriptor,
         # so all stacked shard states grow TOGETHER when the fullest shard
@@ -176,6 +203,50 @@ class MeshNormalizer(Normalizer):
         # invariant: used at last check + every window dispatched since —
         # include the inflow dispatched immediately after this check
         self._used_bound[0] = float(used) + per_shard
+
+    def _maybe_grow_global(self, inflow: int):
+        """Mode B bucket: grow the ONE global table (all row shards double
+        together). The doubling remap sends global row r to 2r+b, which keeps
+        the owner's top log2(D) bits, so a grown table is still validly
+        row-range sharded; the per-shard rebase offset d*(rows_l << shift) is
+        growth-invariant (rows_l doubles as shift drops one bit)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        t = self.tables[0]
+        headroom = getattr(t, "grow_headroom", None)
+        if headroom is None:
+            return
+        if self._used_bound[0] + inflow <= headroom * t.capacity:
+            self._used_bound[0] += inflow
+            return
+        used = t.used_count(self._global_state, self.seeded_lo)
+        grew = False
+        state = self._global_state
+        while getattr(t, "can_grow", False) \
+                and used + inflow > headroom * t.capacity:
+            if self.cfg.verbose or self.cfg.debug:
+                print(
+                    f"Mesh: global bucket table expansion triggered, from "
+                    f"{t.capacity:,} to {t.capacity * 2:,} slots")
+            t, state = t.grown(state)
+            grew = True
+        if grew:
+            self.tables = [t] * len(self.tables)
+            sh_rows = NamedSharding(self.mesh, P("data"))
+            sh_rep = NamedSharding(self.mesh, P())
+            self._global_state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, sh_rows if x.ndim == 2 else sh_rep), state)
+            # old descriptors are baked into the compiled mode steps: rebuild
+            self._mode_steps.clear()
+            self._steps_cache.clear()
+        if not getattr(t, "can_grow", False) \
+                and used + inflow > t.capacity * 0.9:
+            print(
+                f"Warning: Mesh: global table is still over 90% full after "
+                f"expansion ({used:,})", file=sys.stderr)
+        self._used_bound[0] = float(used) + inflow
 
     def _dispatch_queue(self, shard: int, q: list, paired: bool):
         import jax.numpy as jnp

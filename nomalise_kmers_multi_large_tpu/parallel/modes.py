@@ -171,7 +171,7 @@ class ModeBBucketStep:
             bins. aux_planes ride along (w2/packed words). Returns received
             flat planes + the dropped-element count."""
             n_l = key_flat.shape[0]
-            bmax = -(-int(n_l / D * (1.5 if D <= 8 else 1.25)) // 8) * 8
+            bmax = max(8, -(-int(n_l / D * (1.5 if D <= 8 else 1.25)) // 8) * 8)
             ops = (key_flat,) + aux_planes + (
                 (rid_flat,) if rid_flat is not None else ())
             sorted_ops = jax.lax.sort(
@@ -245,9 +245,15 @@ class ModeBBucketStep:
                 recv, dropped = _route(
                     key_flat, (w2.reshape(n_l),), rid_flat, n_real, d)
                 rkey, rw2, rrid = recv
-            # rebase received keys to MY row range (global fingerprint width)
+            # rebase received keys to MY row range (global fingerprint width).
+            # Invalidity must be judged per the encode contract: narrow = the
+            # key itself (real keys < 2^2k <= 2^30 never hit the sentinel);
+            # wide = w2 (a REAL w1 can be 0xFFFFFFFF for k > 16 — rebasing it
+            # keeps that element on this shard's last row, as it should be,
+            # while bin-padding sentinels pass through untouched).
             base = (d.astype(jnp.uint32) * jnp.uint32(rows_l << shift))
-            rkey = jnp.where(rkey == sent, sent, rkey - base)
+            invalid = (rw2 == sent) if wide else (rkey == sent)
+            rkey = jnp.where(invalid, sent, rkey - base)
             n_reads = D * R_l
             if wide:
                 out = bucket_batch_wide(
