@@ -210,6 +210,23 @@ class Config:
                 f"Depth per shard ({self.depth_per_shard}) exceeds 65535, the "
                 "bucket table's exact counting range; use --table direct or hashed"
             )
+        if self.batch_reads < 1:
+            raise ConfigError(f"batch-reads ({self.batch_reads}) must be >= 1")
+        if self.table_kind == "bucket":
+            # the bucket kernel aggregates per-read tallies over at most
+            # 16384 read rows per batch (recsum block + 14-bit packed read
+            # ids, ops/bucket_kernel.py); validate up front like the
+            # reference's flag checks (nk.c:704-743) instead of failing an
+            # in-trace assert mid-run
+            rpr = 2 if self.reverse_files else 1
+            if self.batch_reads * rpr > 16384:
+                raise ConfigError(
+                    f"batch-reads ({self.batch_reads}) "
+                    f"{'pairs' if rpr == 2 else 'reads'} exceeds the bucket "
+                    f"table's 16384 read-rows-per-batch cap; use "
+                    f"--batch-reads <= {16384 // rpr} or --table "
+                    "direct/hashed"
+                )
         if self.stride < 1 or self.stride > self.ksize:
             raise ConfigError(f"stride ({self.stride}) must be in [1, k]")
         if self.dispatch_group < 1:

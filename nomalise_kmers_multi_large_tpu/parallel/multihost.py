@@ -72,14 +72,19 @@ def aggregate_report(report, paired: bool):
     if jax.process_count() <= 1:
         return report
     import jax.numpy as jnp
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    local = jnp.array(
-        [report.total_processed, report.total_printed, report.total_skipped,
-         report.max_total_kmers],
-        jnp.int64 if jax.config.jax_enable_x64 else jnp.int32,
-    )
-    gathered = multihost_utils.process_allgather(local)
+    # 64-bit-safe regardless of jax_enable_x64: the reference's flagship run
+    # processed 2,987,923,777 records (README.md:74) > 2^31, so int32 device
+    # counters would wrap. Ship each counter as two 31-bit int32 halves and
+    # recombine host-side in Python ints.
+    vals = [int(report.total_processed), int(report.total_printed),
+            int(report.total_skipped), int(report.max_total_kmers)]
+    halves = jnp.array(
+        [[v & 0x7FFFFFFF, v >> 31] for v in vals], jnp.int32)
+    g = np.asarray(multihost_utils.process_allgather(halves)).astype(np.int64)
+    gathered = g[..., 0] + (g[..., 1] << np.int64(31))   # [P, 4]
     report.total_processed = int(gathered[:, 0].sum())
     report.total_printed = int(gathered[:, 1].sum())
     report.total_skipped = int(gathered[:, 2].sum())
