@@ -11,9 +11,12 @@ every k-mer of every read in the batch as one dataflow graph:
 
 Exactness: with ``mode='exact'`` the sort-based ranks reproduce the reference's
 sequential upsert-then-test semantics for ANY batch size (see ops/streamrank.py).
-``mode='relaxed'`` keeps ranks sequential only within a read pair (reads in the
-same batch don't see each other's counts) — the same kind of relaxation the
-reference itself accepts across threads (README.md:68) — and skips the global sort.
+``mode='relaxed'`` trades strict stream-order rank attribution for speed — the
+same kind of license the reference itself takes across threads (README.md:68),
+but far tighter. Per table: the bucket table keeps exact counts and relaxes
+only WHICH read sees which occurrence rank among a batch's copies of one code
+(1-key sort, ops/bucket_kernel.py); the direct table keeps ranks sequential
+only within a read pair and skips the global sort entirely.
 """
 from __future__ import annotations
 
@@ -166,14 +169,18 @@ class BatchStep:
         if isinstance(self.table, BucketTable) and self.stride == 1:
             # fully fused Pallas path: encode+mix in one VMEM pass
             # (ops/encode_kernel.py), then upsert + classify + per-read
-            # aggregation in the bucket kernel; semantics are EXACT
-            # (reference-sequential) for any batch size regardless of
-            # self.mode (ops/bucket_kernel.py)
+            # aggregation in the bucket kernel. mode='exact' reproduces the
+            # reference's sequential semantics for any batch size;
+            # mode='relaxed' drops the read-id sort operand, so rank
+            # attribution among a batch's equal codes is arbitrary-order
+            # (table counts stay exact; ops/bucket_kernel.py `relaxed`)
+            relaxed = self.mode == "relaxed"
             if self.table.wide:
                 w1, w2 = self._encode_keys_wide(bases, lengths)
                 state, out = self.table.process_batch_keys(
                     state, w1, w2, None, depth=self.depth,
                     windows_per_read=w1.shape[1], keyed=True,
+                    relaxed=relaxed,
                 )
                 valid_key = w2
             else:
@@ -181,6 +188,7 @@ class BatchStep:
                 state, out = self.table.process_batch_mixed(
                     state, key, None, depth=self.depth,
                     windows_per_read=key.shape[1], keyed=True,
+                    relaxed=relaxed,
                 )
                 valid_key = key
             high_per_read = out.high_per_read[:R]

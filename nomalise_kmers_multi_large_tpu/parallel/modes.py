@@ -165,6 +165,7 @@ class ModeBBucketStep:
         k3 = wide and not pack2
         rpr = 2 if step.paired else 1
         interp = getattr(t, "interpret", False)
+        relax = step.mode == "relaxed"
 
         def _route(key_flat, aux_planes, rid_flat, n_real, d):
             """Sort-by-key locally, cut per-owner segments, exchange fixed
@@ -263,7 +264,7 @@ class ModeBBucketStep:
                     windows_per_read=W, chunk=16384,
                     tile_rows=t.tile_rows, lanes=t.lanes, seed=seed,
                     keyed=True, interpret=interp, rid_flat=rrid,
-                    n_reads=n_reads, row_shift=shift)
+                    n_reads=n_reads, row_shift=shift, relaxed=relax)
                 new_state = TableState(
                     counts=out.counts, keys=out.fpA, used=state.used,
                     overflow=state.overflow + jax.lax.psum(
@@ -277,7 +278,7 @@ class ModeBBucketStep:
                     windows_per_read=W, chunk=16384,
                     tile_rows=t.tile_rows, lanes=t.lanes, seed=seed,
                     keyed=True, interpret=interp, rid_flat=rrid,
-                    n_reads=n_reads, fp_bits=shift)
+                    n_reads=n_reads, fp_bits=shift, relaxed=relax)
                 new_state = TableState(
                     counts=out.counts, keys=out.fp, used=state.used,
                     overflow=state.overflow + jax.lax.psum(

@@ -157,12 +157,13 @@ class BucketTable(CountTable):
     def process_batch_mixed(
         self, state: TableState, mixed: jax.Array, valid,
         *, depth: int, windows_per_read: int, seed: bool = False,
-        chunk: int = 16384, keyed: bool = False,
+        chunk: int = 16384, keyed: bool = False, relaxed: bool = False,
     ) -> tuple[TableState, BucketBatchOut]:
         """Same as process_batch but takes pre-mixed codes (uint32 [R, W]),
         e.g. from the fused ops/encode_kernel.py pass. With keyed=True the
         codes already carry the invalid-window sentinel and valid is unused
-        (may be None)."""
+        (may be None). relaxed drops the read-id sort operand (arbitrary
+        rank attribution among batch equals, ops/bucket_kernel.py)."""
         n = mixed.shape[0] * mixed.shape[1]
         out = bucket_batch(
             state.keys, state.counts, mixed.reshape(n),
@@ -170,7 +171,7 @@ class BucketTable(CountTable):
             k=self.k, rows=self.rows, depth=depth,
             windows_per_read=windows_per_read, chunk=chunk,
             tile_rows=self.tile_rows, lanes=self.lanes, seed=seed,
-            keyed=keyed, interpret=self.interpret,
+            keyed=keyed, interpret=self.interpret, relaxed=relaxed,
         )
         new_state = TableState(
             counts=out.counts, keys=out.fp, used=state.used,
@@ -337,7 +338,7 @@ class BucketTableWide(BucketTable):
     def process_batch_keys(
         self, state: TableState, w1: jax.Array, w2: jax.Array, valid,
         *, depth: int, windows_per_read: int, seed: bool = False,
-        chunk: int = 16384, keyed: bool = False,
+        chunk: int = 16384, keyed: bool = False, relaxed: bool = False,
     ) -> tuple[TableState, BucketBatchOut]:
         """Feistel sort words (uint32 [R, W] each) -> batch upsert+classify.
         With keyed=True the words already carry the sentinel pair for invalid
@@ -350,7 +351,7 @@ class BucketTableWide(BucketTable):
             k=self.k, rows=self.rows, depth=depth,
             windows_per_read=windows_per_read, chunk=chunk,
             tile_rows=self.tile_rows, lanes=self.lanes, seed=seed,
-            keyed=keyed, interpret=self.interpret,
+            keyed=keyed, interpret=self.interpret, relaxed=relaxed,
         )
         new_state = TableState(
             counts=out.counts, keys=out.fpA, used=state.used,
