@@ -41,8 +41,8 @@ def _sync(x):
     np.asarray(jax.device_get(leaf.ravel()[0:1]))
 
 
-def main():
-    import jax
+def _device_bench(mode: str) -> float:
+    """On-chip k=15 bucket-table throughput at bench shape; returns reads/s."""
     import jax.numpy as jnp
 
     from nomalise_kmers_multi_large_tpu.engine.step import BatchStep
@@ -58,21 +58,21 @@ def main():
     # ~66 MB/s and not representative of production PCIe).
     idx = rng.integers(0, pool.shape[0], size=(GROUP, BATCH_READS))
     batches = jnp.asarray(pool[idx])  # [GROUP, BATCH_READS, pad]
-    lengths = np.full((GROUP, BATCH_READS), READ_LEN, np.int32)
-    rec_valid = np.ones((GROUP, BATCH_READS // 2), bool)
+    lengths_d = jnp.asarray(np.full((GROUP, BATCH_READS), READ_LEN, np.int32))
+    valid_d = jnp.asarray(np.ones((GROUP, BATCH_READS // 2), bool))
 
-    # bucket table: the fused Pallas kernel path with EXACT sequential
-    # semantics (bit-identical decisions to the single-CPU reference for any
-    # batch size) — faster than the old relaxed XLA scatter path; see
-    # docs/PERF_NOTES.md and ops/bucket_kernel.py.
+    # bucket table: the fused Pallas kernel path. mode='exact' has EXACT
+    # sequential semantics (bit-identical decisions to the single-CPU
+    # reference for any batch size); mode='relaxed' keeps counts exact but
+    # attributes ranks among a batch's equal codes in arbitrary order,
+    # dropping the read-id sort operand. See docs/PERF_NOTES.md and
+    # ops/bucket_kernel.py.
     table = BucketTable(K)
     step = BatchStep(
         table, k=K, depth_per_shard=50, coverage=0.9,
-        canonical=False, paired=True, mode="exact",
+        canonical=False, paired=True, mode=mode,
     )
     state = table.init()
-    lengths_d = jnp.asarray(lengths)
-    valid_d = jnp.asarray(rec_valid)
 
     # warmup + compile
     for _ in range(WARMUP):
@@ -94,12 +94,29 @@ def main():
         _sync(keep)
         best = min(best, time.perf_counter() - t0)
 
-    reads_per_s = BATCH_READS * GROUP * ITERS / best
+    return BATCH_READS * GROUP * ITERS / best
+
+
+def main():
+    reads_per_s = _device_bench("exact")
     print(json.dumps({
         "metric": "reads/s/chip kmer count+filter (k=15, paired, exact mode, bucket table)",
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),
+    }), flush=True)
+
+
+def main_relaxed():
+    """--mode relaxed on the same shape: exact counts, arbitrary-order rank
+    attribution among a batch's equal codes (the reference's own cross-thread
+    relaxation license, README.md:68 / nk.c:931, but far tighter)."""
+    reads_per_s = _device_bench("relaxed")
+    print(json.dumps({
+        "metric": "reads/s/chip kmer count+filter (k=15, paired, relaxed "
+                  "mode, bucket table)",
+        "value": round(reads_per_s),
+        "unit": "reads/s",
     }), flush=True)
 
 
@@ -157,7 +174,23 @@ def _write_fastq(path, seqs, qual_char=b"I"):
 
 
 def main_e2e(n_pairs: int = 100_000):
-    """End-to-end ingest benchmark: real files through the real engine."""
+    """End-to-end benchmark: real files through the real engine, on a
+    workload that actually CROSSES depth (round-3 verdict item 4: the old
+    4096-transcript/depth-100 pool never skipped one read, so the
+    filter/write path went unmeasured).
+
+    Pool of 1024 distinct reads at depth 25: each pool row recurs ~n/1024
+    times, counts cross depth early, and the steady-state mix is ~80-90%
+    skipped — the reference's production profile (88.2% skipped,
+    README.md:74-76). Three runs: one warmup (compiles), then two timed warm
+    runs of different sizes whose delta cancels every one-time cost:
+    steady = (reads_big - reads_small) / (wall_big - wall_small). All run
+    sizes are exact multiples of batch_reads * dispatch_group so every
+    dispatch reuses the one compiled full-shape step (no odd-batch
+    recompiles inside the timed region).
+    """
+    import contextlib
+    import io
     import os
     import tempfile
 
@@ -166,41 +199,69 @@ def main_e2e(n_pairs: int = 100_000):
 
     rng = np.random.default_rng(1)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    # transcript-pool structure like the device bench
-    pool = bases[rng.integers(0, 4, size=(4096, READ_LEN))]
+    pool = bases[rng.integers(0, 4, size=(1024, READ_LEN))]
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
-    fwd, rev = os.path.join(tmp, "f.fastq"), os.path.join(tmp, "r.fastq")
-    seqs_f = [pool[j].tobytes() for j in rng.integers(0, 4096, n_pairs)]
-    seqs_r = [pool[j].tobytes() for j in rng.integers(0, 4096, n_pairs)]
-    _write_fastq(fwd, seqs_f)
-    _write_fastq(rev, seqs_r)
-    nbytes = os.path.getsize(fwd) + os.path.getsize(rev)
 
-    # batch_reads counts RECORDS (pairs): 8192 pairs = 16384 reads/batch,
-    # the same device shape as the headline bench
-    cfg = Config(forward_files=(fwd,), reverse_files=(rev,), ksize=K,
-                 depth=100, out_dir=tmp, batch_reads=BATCH_READS // 2,
-                 dispatch_group=4)
-    norm = Normalizer(cfg)
-    t0 = time.perf_counter()
-    # the engine's console report goes to a buffer: bench stdout stays JSON
-    import contextlib
-    import io
+    def make_files(tag, n):
+        fwd = os.path.join(tmp, f"f{tag}.fastq")
+        rev = os.path.join(tmp, f"r{tag}.fastq")
+        _write_fastq(fwd, [pool[j].tobytes()
+                           for j in rng.integers(0, len(pool), n)])
+        _write_fastq(rev, [pool[j].tobytes()
+                           for j in rng.integers(0, len(pool), n)])
+        return fwd, rev
 
-    with contextlib.redirect_stdout(io.StringIO()):
-        report = norm.run()
-    wall = time.perf_counter() - t0
-    stages = {name: round(t * 1e3, 1) for name, t in
-              sorted(norm.timer.totals.items(), key=lambda kv: -kv[1])}
+    def run(fwd, rev, out):
+        os.mkdir(out)
+        # batch_reads counts RECORDS (pairs): 8192 pairs = 16384 reads/batch,
+        # the same device shape as the headline bench
+        cfg = Config(forward_files=(fwd,), reverse_files=(rev,), ksize=K,
+                     depth=25, out_dir=out, batch_reads=BATCH_READS // 2,
+                     dispatch_group=4)
+        norm = Normalizer(cfg)
+        t0 = time.perf_counter()
+        # the engine's console report goes to a buffer: bench stdout stays JSON
+        with contextlib.redirect_stdout(io.StringIO()):
+            report = norm.run()
+        return time.perf_counter() - t0, report, dict(norm.timer.totals)
+
+    pairs_per_group = (BATCH_READS // 2) * 4        # batch_reads * dispatch_group
+    n_warm = pairs_per_group                         # 1 full scan group
+    n_small = max(1, round(n_pairs / pairs_per_group)) * pairs_per_group
+    n_big = 3 * n_small
+    fwd_w, rev_w = make_files("w", n_warm)
+    fwd_s, rev_s = make_files("s", n_small)
+    fwd_b, rev_b = make_files("b", n_big)
+    nbytes = os.path.getsize(fwd_b) + os.path.getsize(rev_b)
+    wall_w, _, _ = run(fwd_w, rev_w, os.path.join(tmp, "out_w"))
+    wall_s, rep_s, stages_s = run(fwd_s, rev_s, os.path.join(tmp, "out_s"))
+    wall_b, rep_b, stages_b = run(fwd_b, rev_b, os.path.join(tmp, "out_b"))
+
+    d_reads = 2 * (n_big - n_small)
+    d_wall = wall_b - wall_s
+    # per-stage steady-state deltas; they sum to ~d_wall (untracked remainder
+    # is reported explicitly rather than hidden)
+    d_stage = {name: round((stages_b.get(name, 0.0)
+                            - stages_s.get(name, 0.0)) * 1e3, 1)
+               for name in sorted(set(stages_b) | set(stages_s))}
+    d_stage = dict(sorted(d_stage.items(), key=lambda kv: -kv[1]))
+    tracked = sum(d_stage.values())
     print(json.dumps({
-        "metric": "reads/s end-to-end (FASTQ files -> filtered FASTQ files, "
-                  "k=15 paired, includes jit compiles and sandbox H2D tunnel)",
-        "value": round(2 * n_pairs / wall),
+        "metric": "reads/s end-to-end steady-state (FASTQ -> filtered FASTQ, "
+                  "k=15 paired depth 25, ~86% skipped; two-run delta cancels "
+                  "compile+seed; H2D rides this sandbox's ~66 MB/s tunnel)",
+        "value": round(d_reads / d_wall),
         "unit": "reads/s",
+        "steady_state_reads_per_s": round(d_reads / d_wall),
         "input_mb": round(nbytes / 1e6, 1),
-        "processed": report.total_processed,
-        "printed": report.total_printed,
-        "stage_ms": stages,
+        "processed": rep_b.total_processed,
+        "printed": rep_b.total_printed,
+        "skipped": rep_b.total_skipped,
+        "warmup_wall_s": round(wall_w, 2),      # dominated by jit compiles
+        "warm_small_wall_s": round(wall_s, 2),
+        "warm_big_wall_s": round(wall_b, 2),
+        "steady_stage_ms": d_stage,
+        "steady_untracked_ms": round(d_wall * 1e3 - tracked, 1),
     }), flush=True)
 
     # host-only framing+packing rate of the native fast path (io/_fastx.c)
@@ -213,13 +274,13 @@ def main_e2e(n_pairs: int = 100_000):
     for _ in range(3):
         t0 = time.perf_counter()
         n_rec = 0
-        fx = FastxFile(fwd, fastq=True)
+        fx = FastxFile(fwd_b, fastq=True)
         for rb in batch_iterator(fx, BATCH_READS):
             bases_h, lengths_h = pack_batch(
                 fx.data, rb.fwd.seq_start, rb.fwd.seq_len, READ_LEN, K)
             n_rec += lengths_h.shape[0]
         best = min(best, time.perf_counter() - t0)
-    gbs = os.path.getsize(fwd) / best / 1e9
+    gbs = os.path.getsize(fwd_b) / best / 1e9
     print(json.dumps({
         "metric": "host mmap+frame+pack rate, native _fastx path (single core)",
         "value": round(gbs, 2),
@@ -233,7 +294,7 @@ if __name__ == "__main__":
     import traceback
 
     main()  # the headline line the driver records — always first
-    for extra in (main_k21, main_e2e):
+    for extra in (main_relaxed, main_k21, main_e2e):
         try:
             extra()
         except Exception:  # extras must never void the recorded headline

@@ -350,6 +350,7 @@ def bucket_batch(
     seed: bool = False,
     keyed: bool = False, interpret: bool = False, ablate: tuple = (),
     rid_flat=None, n_reads: int = 0, fp_bits: int = 0,
+    relaxed: bool = False,
 ):
     """Run one batch through the bucket table.
 
@@ -372,6 +373,13 @@ def bucket_batch(
       fp_bits: override the fingerprint-bit count (Mode B row-range shards:
         a shard holds rows/D rows of the GLOBAL table, but fingerprints keep
         the global width; keys arrive already rebased to the shard).
+      relaxed: drop the read-id sort operand (``--mode relaxed``): the sort
+        compares codes only and breaks ties arbitrarily, so occurrence ranks
+        among a batch's copies of one code are attributed to reads in
+        arbitrary order instead of stream order. Table counts stay exact and
+        the per-code observed-value multiset is unchanged — a far tighter
+        relaxation than the reference's independent per-thread tables
+        (README.md:68, normalise_kmers_multi_large.c:931).
 
     Returns BucketBatchOut. high_per_read covers n_reads reads.
     """
@@ -416,6 +424,8 @@ def bucket_batch(
     # assignment among equal copies is tally-invariant (the read's high-window
     # count is the same whichever copy takes which rank), so keep/skip
     # decisions, per-read tallies, and table counts are all unchanged.
+    # relaxed demotes the read id to a pure payload (num_keys=1): the
+    # comparator touches only the code word, ties break arbitrarily.
     if rid_flat is None:
         rid = jnp.minimum(jnp.arange(npad, dtype=jnp.int32) // w, n_reads - 1)
     else:
@@ -423,7 +433,8 @@ def bucket_batch(
         if pad:
             rid = jnp.concatenate(
                 [rid, jnp.full((pad,), n_reads - 1, jnp.int32)])
-    skey, srid = jax.lax.sort((key, rid), num_keys=2, is_stable=False)
+    skey, srid = jax.lax.sort(
+        (key, rid), num_keys=1 if relaxed else 2, is_stable=False)
 
     # rank within equal-code run + candidate index within bucket row, fused
     # into one bandwidth-bound Pallas pass (ops/segscan.py) — as XLA
@@ -831,6 +842,7 @@ def bucket_batch_wide(
     seed: bool = False,
     keyed: bool = False, interpret: bool = False,
     rid_flat=None, n_reads: int = 0, row_shift: int = 0,
+    relaxed: bool = False,
 ):
     """One batch through the WIDE bucket table (k = 16..31).
 
@@ -843,6 +855,11 @@ def bucket_batch_wide(
       rid_flat / n_reads / row_shift: Mode B row-range sharding support,
         exactly as in bucket_batch (row_shift plays fp_bits' role: a shard's
         w1 keys arrive rebased but keep the global fingerprint width).
+      relaxed: ``--mode relaxed`` — arbitrary-order rank attribution among a
+        batch's equal codes (see bucket_batch). Only changes the k >= 25
+        sort (read id demoted from 3rd comparator key to payload); the
+        k <= 24 packed path already sorts two operands with the read id
+        riding w2's spare bits, so there is nothing left to drop.
 
     Returns BucketBatchWideOut.
     """
@@ -898,27 +915,34 @@ def bucket_batch_wide(
         if pad:
             rid = jnp.concatenate(
                 [rid, jnp.full((pad,), n_reads - 1, jnp.int32)])
-    # w2 carries only b-32 real bits; whenever b-32 + 14 rid bits fit BELOW
-    # the sentinel (k <= 24), pack rid into w2's spare low bits and sort TWO
-    # operands instead of three — each sort operand costs ~0.8 ns/element
-    # (experiments/perf_sort_r3.py), so this takes ~30% off the wide step.
-    # Order is unchanged: (w1, (w2 << 14) | rid) sorts exactly like
+    # w2 carries only b-32 real bits; whenever b-32 + the rid bits this batch
+    # actually needs (ceil log2 n_reads) fit BELOW the sentinel, pack rid
+    # into w2's spare low bits and sort TWO operands instead of three — each
+    # sort operand costs ~0.8 ns/element (experiments/perf_sort_r3.py), so
+    # this takes ~30% off the wide step. At the 16384-read cap that covers
+    # k <= 24; smaller batches extend it (k=25 at <= 8192 reads, k=26 at
+    # <= 2048, ... — the dynamic generalization of the fixed-14-bit scheme).
+    # Order is unchanged: (w1, (w2 << rb) | rid) sorts exactly like
     # (w1, w2, rid). A real packed word stays < 2^31 < 0xFFFFFFFF, so the
     # sentinel (and with it window validity, pb != -1 in the kernel) survives
     # even for the one REAL code whose w1 mixes to 0xFFFFFFFF — the case that
-    # forces 3 keys when w2 has no spare bits (k >= 25).
-    if (b - 32) + _RID_BITS <= 31:
+    # forces 3 keys when w2 has no spare bits.
+    rbits = max(1, int(np.ceil(np.log2(max(n_reads, 2)))))
+    if (b - 32) + rbits <= 31:
         k2p = jnp.where(
             k2 == _SENT, _SENT,
-            (k2 << jnp.uint32(_RID_BITS)) | rid.astype(jnp.uint32))
+            (k2 << jnp.uint32(rbits)) | rid.astype(jnp.uint32))
         skey1, sk2p = jax.lax.sort((k1, k2p), num_keys=2, is_stable=False)
         srid = jax.lax.bitcast_convert_type(
-            sk2p & jnp.uint32((1 << _RID_BITS) - 1), jnp.int32)
+            sk2p & jnp.uint32((1 << rbits) - 1), jnp.int32)
         skey2 = jnp.where(sk2p == _SENT, _SENT,
-                          sk2p >> jnp.uint32(_RID_BITS))
+                          sk2p >> jnp.uint32(rbits))
     else:
+        # k >= 25: no spare w2 bits for the read id. exact needs it as the
+        # 3rd comparator key (stream-order tie-break); relaxed demotes it to
+        # a payload, saving one comparator operand (~0.8 ns/element).
         skey1, skey2, srid = jax.lax.sort(
-            (k1, k2, rid), num_keys=3, is_stable=False)
+            (k1, k2, rid), num_keys=2 if relaxed else 3, is_stable=False)
 
     p2f, p3f = rank_cand_scan(skey1, srid, fp_bits=0, w=w, n_reads=n_reads,
                               interpret=interpret, skey2=skey2,
