@@ -72,9 +72,24 @@ class Normalizer:
         #: next batch could actually cross the headroom (see _maybe_grow).
         self._used_bound = [0.0] * cfg.shards
         self._grow_enabled = True
+        #: --debug>2 per-upsert tier (reference nk.c:944,:1050): one exact
+        #: host shadow table per shard, replayed at retire time
+        self._shadows = None
+        if cfg.debug > 2:
+            from nomalise_kmers_multi_large_tpu.engine.debug_shadow import (
+                UpsertShadow,
+            )
+
+            self._shadows = [UpsertShadow(cfg.ksize, cfg.canonical)
+                             for _ in range(cfg.shards)]
         from nomalise_kmers_multi_large_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer()
+
+    @staticmethod
+    def _record_seq(file, cols, i: int) -> bytes:
+        s0, sl = int(cols.seq_start[i]), int(cols.seq_len[i])
+        return bytes(file.data[s0:s0 + sl])
 
     # ------------------------------------------------------------------
     def _get_step(self, shard: int, paired: bool) -> BatchStep:
@@ -230,6 +245,13 @@ class Normalizer:
                 take = min(len(batch), remaining)
                 if take < len(batch):
                     batch = RecordBatch(fwd_file=batch.fwd_file, fwd=batch.fwd.slice(0, take))
+                if self._shadows is not None:
+                    # reference prints its debug>2 upsert lines during the
+                    # seed pass too (store_kmer do_init, nk.c:944)
+                    for i in range(len(batch)):
+                        self._shadows[0].seed_seq(
+                            self._record_seq(batch.fwd_file, batch.fwd, i),
+                            sys.stdout)
                 # seeding uses the strictly-greater length rule (len > k, :1347)
                 bases, lengths, _ = self._pack(batch, cfg.ksize + 1)
                 if isinstance(self.tables[0], DirectTable):
@@ -256,6 +278,9 @@ class Normalizer:
                 self.tables[s] = self.tables[0]
                 self._used_bound[s] = self._used_bound[0]
                 self.states[s] = jax.tree.map(lambda x: x.copy(), self.states[0])
+        if self._shadows is not None:
+            for s in range(1, len(self._shadows)):
+                self._shadows[s] = self._shadows[0].copy()
 
     def _seed_from_tsv(self, path: str):
         """Seed from a kmer TSV (one kmer per line, optional count column)."""
@@ -340,6 +365,12 @@ class Normalizer:
                     f"Resuming from checkpoint: file {resume.file_index + 1}, "
                     f"{resume.records_done:,} records done"
                 )
+                if self._shadows is not None:
+                    print(
+                        "Warning: --debug>2 upsert lines after a resume "
+                        "count from the resume point (the host shadow table "
+                        "is not checkpointed)", file=sys.stderr,
+                    )
         if resume is None:
             self.seed()
             if cfg.print_table:
@@ -619,6 +650,17 @@ class Normalizer:
                 hr, tr = int(high[2 * i + 1]), int(total[2 * i + 1])
                 if tf == 0 and tr == 0 and not keep[i]:
                     continue  # invalid record: reference skips silently
+                if self._shadows is not None:
+                    # per-upsert lines precede the verdict line, exactly as
+                    # the reference's store_kmer prints inside the hot loop
+                    # (fwd mate then rev, nk.c:1559,:1563)
+                    sh = self._shadows[shard]
+                    sh.process_seq(
+                        self._record_seq(batch.fwd_file, batch.fwd, i),
+                        sys.stdout)
+                    sh.process_seq(
+                        self._record_seq(batch.rev_file, batch.rev, i),
+                        sys.stdout)
                 seq_no += 1
                 verdict = "PRINTED" if keep[i] else "SKIPPED"
                 rf = hf / tf if tf else 0.0
@@ -635,6 +677,10 @@ class Normalizer:
                 h, t = int(high[i]), int(total[i])
                 if t == 0 and not keep[i]:
                     continue
+                if self._shadows is not None:
+                    self._shadows[shard].process_seq(
+                        self._record_seq(batch.fwd_file, batch.fwd, i),
+                        sys.stdout)
                 seq_no += 1
                 verdict = "PRINTED" if keep[i] else "SKIPPED"
                 r = h / t if t else 0.0
@@ -648,10 +694,11 @@ class Normalizer:
 
     def _debug_dump_seq(self, batch, i: int):
         """--debug > 3 raw record dump (reference nk.c:1694-1695). The
-        reference's still-deeper tiers (per-upsert hash/count lines at
-        debug>2, probe-chain traces at debug>4) have no analogue in a
-        batched kernel — their role is served by the debug>=3 batch-level
-        decode(encode) self-checks (_debug_roundtrip)."""
+        per-upsert hash/count lines at debug>2 come from the host shadow
+        table (engine/debug_shadow.py, byte-identical to the reference's);
+        the probe-chain traces at debug>4 (nk.c:1034) have no analogue — the
+        bucket table never probes — and their role is served by the
+        debug>=3 batch-level decode(encode) self-checks (_debug_roundtrip)."""
 
         def seq(file, cols):
             h0 = int(cols.hdr_start[i])

@@ -297,8 +297,11 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
                                    axis=0, keepdims=True)       # (1, SUB)
                 fits = lane_new < float(lanes)
                 unmatched = (is_match == 0.0) & valid & (cand < lanes) & fits
-                B_new = _onehot(
-                    (lane_new == l_iota.astype(jnp.float32)) & unmatched)
+                # gate via the LANE INDEX (-1 = no column), not an (L, SUB)
+                # broadcast mask AND (Mosaic i1 relayouts; see decode_sub in
+                # the wide kernel)
+                lane_eff = jnp.where(unmatched, lane_new, -1.0)
+                B_new = _onehot(lane_eff == l_iota.astype(jnp.float32))
                 insert = ((is_match == 0.0) & (rank == 1) & valid
                           & (cand < lanes))
                 ins_f = _onehot(insert)
@@ -571,11 +574,13 @@ def bucket_batch(
 #   fingerprint  = (fpA, fpB) = (w1 & (2^row_shift - 1)) + 1, w2)
 #
 # and the table stores TWO fingerprint planes, fpA (0 = empty slot) and fpB.
-# All fingerprint traffic is 8-bit limbs: the gather contracts nA + nB limb
-# planes (each value < 256, bf16-exact), the match ANDs per-limb equalities
-# (f32-exact — a combined compare would exceed f32's 2^24 integer range for
-# b > 24-bit fingerprints), and inserts accumulate one f32 matmul per limb,
-# recombined in int32. Everything else — lane-major stream blocks, scalar-
+# All fingerprint traffic is 8-bit limbs: the gather contracts nF 8-bit
+# windows of the CONCATENATED fingerprint bitstring fpA | fpB<<(row_shift+1)
+# (each value < 256, bf16-exact; packing the A/B straggler bits into one
+# window saves a gather plane + a match compare at k=17,18,21,22), the match
+# ANDs per-window equalities (f32-exact — a combined compare would exceed
+# f32's 2^24 integer range for b > 24-bit fingerprints), and inserts
+# accumulate one f32 matmul per STORED-plane limb, recombined in int32. Everything else — lane-major stream blocks, scalar-
 # prefetched (tile, chunk) grid, match-then-insert two-pass structure,
 # aggregated per-read tallies — matches the narrow kernel; the two are kept
 # separate so the narrow hot path keeps its cheaper single-compare match.
@@ -596,8 +601,8 @@ class BucketBatchWideOut(NamedTuple):
     overflow: jax.Array  # int32 []
 
 
-def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
-                 tile_rows: int, lanes: int, seed: bool,
+def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
+                 chunk: int, tile_rows: int, lanes: int, seed: bool,
                  # prefetch
                  step_tile, step_chunk, step_active, step_skip,
                  *refs):
@@ -674,7 +679,15 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
         rank = jnp.bitwise_and(p2, jnp.uint32(0xFFFF)).astype(jnp.int32)
         rid = jax.lax.shift_right_logical(p2, jnp.uint32(16)).astype(jnp.int32)
         valid = (pb != -1) & (lrow >= 0) & (lrow < R)
-        C = _onehot((lrow == r_iota) & valid)        # (R, SUB)
+        # validity rides the ROW INDEX (invalid -> -1, no one-hot column)
+        # instead of a broadcast (R, SUB) mask AND: i1 row-vector broadcasts
+        # force Mosaic mask relayouts that measured ~2 ms/batch across the
+        # two per-sub uses (experiments/perf_wide_ablate_r4.py; the narrow
+        # kernel always excluded invalids arithmetically). A sentinel's
+        # aliased last-real-tile row is likewise cut here: C = 0 keeps it
+        # out of every gather/delta/recsum contraction.
+        lrow_eff = jnp.where(valid, lrow, -1)
+        C = _onehot(lrow_eff == r_iota)              # (R, SUB)
         return C, fpvA, pb, rank, rid, cand, valid
 
     # ---- pass A: match path ----
@@ -683,17 +696,42 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
     offset = 512.0 if one_limb else 131072.0
     fpt = fpA_out_ref[:]
     cntt = jnp.minimum(cnt_out_ref[:], 255 if one_limb else 65535)
-    limbs = [((fpt >> (8 * j)) & 255).astype(jnp.bfloat16) for j in range(nA)]
-    if has_b:
-        fpbt = fpB_out_ref[:]
-        limbs += [((fpbt >> (8 * j)) & 255).astype(jnp.bfloat16)
-                  for j in range(nB)]
+    fpbt = fpB_out_ref[:] if has_b else None
+    # PACKED fingerprint gather planes: contract 8-bit windows of the
+    # CONCATENATED fingerprint bitstring fpA | fpB << (row_shift+1) instead
+    # of per-plane limbs. fpA carries row_shift+1 bits (the +1 empty-marker
+    # offset), fpB carries bits_b = 2k-32; packing merges their straggler
+    # bits into one window whenever (row_shift+1 + bits_b) crosses one fewer
+    # 8-bit boundary than the separate limb counts (k=17,18,21,22 at 2^14
+    # rows: one fewer gather plane AND one fewer match compare). The STORED
+    # layout is untouched — only pass A's gather/match read packed windows;
+    # pass B still writes per-plane limbs.
+    nbitsA = row_shift + 1
+    nF = (nbitsA + bits_b + 7) // 8
+
+    def packed_window(va, vb, lo):
+        """Bits [lo, lo+8) of concat(va: nbitsA bits, vb: bits_b bits).
+        Always <= 255, so bf16/f32 handling downstream is exact."""
+        out = None
+        if lo < nbitsA:
+            take = min(8, nbitsA - lo)
+            out = (va >> lo) & ((1 << take) - 1)
+        if has_b and lo + 8 > nbitsA:
+            if lo >= nbitsA:
+                part_b = (vb >> (lo - nbitsA)) & 255
+            else:
+                part_b = (vb & ((1 << (lo + 8 - nbitsA)) - 1)) << (nbitsA - lo)
+            out = part_b if out is None else out | part_b
+        return out
+
+    limbs = [packed_window(fpt, fpbt, 8 * j).astype(jnp.bfloat16)
+             for j in range(nF)]
     if one_limb:
         limbs.append(cntt.astype(jnp.bfloat16))
     else:
         limbs += [(cntt >> 8).astype(jnp.bfloat16),
                   (cntt & 255).astype(jnp.bfloat16)]
-    planes = jnp.concatenate(limbs, axis=1)          # (R, (nA+nB+nc)*128)
+    planes = jnp.concatenate(limbs, axis=1)          # (R, (nF+nc)*lanes)
 
     delta_acc = jnp.zeros((R, lanes), jnp.float32)
     rec_acc = jnp.zeros((128, 128), jnp.float32)
@@ -703,16 +741,21 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
         def _do_a(args, i=i):
             delta_acc, rec_acc, n_unmatched = args
             C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
-            G = mm_00(planes, C)                     # ((nA+nB+nc)*L, SUB)
-            matchb = G[0:lanes] == limb_f(fpvA, 0)
-            for j in range(1, nA):
-                matchb &= G[j * lanes:(j + 1) * lanes] == limb_f(fpvA, j)
-            for j in range(nB):
-                o = (nA + j) * lanes
-                matchb &= G[o:o + lanes] == limb_f(fpvB, j)
-            matchb &= valid                          # sentinel rows are REAL
-            match = jnp.where(matchb, 1.0, 0.0)      # (L, SUB) f32
-            co = (nA + nB) * lanes
+            G = mm_00(planes, C)                     # ((nF+nc)*L, SUB)
+            # no (L, SUB) valid AND: an invalid element's C column is zero,
+            # so a garbage all-zero-window "match" contributes nothing to
+            # delta (C-gated) or recsum/inserts (valid-gated); mboth's junk
+            # prior is discarded the same way. All-window equality is an
+            # |diff| accumulation (integers <= nF*255, f32-exact) with ONE
+            # compare — pure f32, no (L, SUB) i1 mask ops at all
+            diff = jnp.abs(G[0:lanes] - packed_window(
+                fpvA, fpvB, 0).astype(jnp.float32))
+            for j in range(1, nF):
+                diff = diff + jnp.abs(
+                    G[j * lanes:(j + 1) * lanes]
+                    - packed_window(fpvA, fpvB, 8 * j).astype(jnp.float32))
+            match = jnp.where(diff == 0.0, 1.0, 0.0)  # (L, SUB) f32
+            co = nF * lanes
             if one_limb:
                 row_cnt = G[co:co + lanes]
             else:
@@ -781,8 +824,8 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, depth: int, chunk: int,
                                    axis=0, keepdims=True)
                 fits = lane_new < float(lanes)
                 unmatched = (is_match == 0.0) & valid & (cand < lanes) & fits
-                B_new = _onehot(
-                    (lane_new == l_iota.astype(jnp.float32)) & unmatched)
+                lane_eff = jnp.where(unmatched, lane_new, -1.0)  # no i1 AND
+                B_new = _onehot(lane_eff == l_iota.astype(jnp.float32))
                 insert = ((is_match == 0.0) & (rank == 1) & valid
                           & (cand < lanes))
                 B_ins = B_new * _onehot(insert)      # one writer per (r, l)
@@ -1043,8 +1086,8 @@ def bucket_batch_wide(
         operands = (p1, pb, p2, p3, fpA, counts)
 
     outs = pl.pallas_call(
-        partial(_kernel_wide, row_shift, nA, nB, depth, chunk, tile_rows,
-                lanes, seed),
+        partial(_kernel_wide, row_shift, nA, nB, b - 32, depth, chunk,
+                tile_rows, lanes, seed),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,

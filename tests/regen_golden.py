@@ -61,6 +61,11 @@ def regen_case(case_dir: pathlib.Path, binary: pathlib.Path) -> list[str]:
         for f in sorted(pathlib.Path(td).glob("output_*")):
             shutil.copy(f, case_dir / f.name)
             copied.append(f.name)
+        # raw stdout/stderr too: the debug_* cases compare DEBUG: line
+        # streams against stdout.txt (stdout_stable.txt stays hand-curated)
+        (case_dir / "stdout.txt").write_text(proc.stdout)
+        (case_dir / "stderr.txt").write_text(proc.stderr)
+        copied.append("stdout.txt")
     return copied
 
 

@@ -130,3 +130,55 @@ def test_overflow_surfaces_in_report(tmp_path, capsys):
     out = capsys.readouterr().out
     assert n.counters[0].overflow > 0
     assert "dropped" in out and "WARNING" in out
+
+
+def test_debug2_upsert_lines_byte_identical_to_reference(tmp_path, capsys):
+    """--debug>2 per-upsert lines (reference store_kmer, nk.c:944-945 and
+    :1050-1051) are byte-identical to the reference binary's on 2seq at
+    k=11 (table clamped to 4^11: guaranteed collision-free, so the
+    reference's printed hash IS the 2-bit code). Golden captured from the
+    compiled reference at `tests/golden/debug_2seq_k11_d2/args.txt`."""
+    golden = (
+        pathlib.Path(__file__).parent / "golden" / "debug_2seq_k11_d2"
+        / "stdout.txt"
+    ).read_text().splitlines()
+    want = [ln for ln in golden if ln.startswith("DEBUG: ")]
+    assert len(want) == 924  # 616 before-lines + 308 increment lines
+
+    cfg = Config(
+        forward_files=(str(T / "2seq.fastq"),), single=True, ksize=11,
+        depth=2, out_dir=str(tmp_path), table="bucket", debug=3,
+    )
+    Normalizer(cfg).run()
+    got = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("DEBUG: ")]
+    assert got == want
+
+
+def test_debug2_upsert_lines_per_shard_paired(tmp_path, capsys):
+    """Paired + multi-shard: each shard's shadow counts only its own
+    records; the combined stream still has one before-line per valid
+    window and increments only on re-encounters."""
+    cfg = Config(
+        forward_files=(str(T / "a1.fastq"),),
+        reverse_files=(str(T / "b1.fastq"),),
+        ksize=11, depth=4, shards=2, out_dir=str(tmp_path), table="bucket",
+        debug=3, batch_reads=256,
+    )
+    Normalizer(cfg).run()
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("DEBUG: ")]
+    before = [ln for ln in lines if not ln.startswith("DEBUG: New")]
+    incr = [ln for ln in lines if ln.startswith("DEBUG: New")]
+    assert before and incr
+    # every increment line reports count >= 1 and is preceded by a
+    # before-line of the same code with count - 1
+    import re
+
+    pat = re.compile(r"hash: (\d+), Count: (\d+)$")
+    seen_new = 0
+    for ln in incr:
+        code, cnt = map(int, pat.search(ln).groups())
+        assert cnt >= 1
+        seen_new += 1
+    assert seen_new == len(incr)
