@@ -603,6 +603,7 @@ class BucketBatchWideOut(NamedTuple):
 
 def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
                  chunk: int, tile_rows: int, lanes: int, seed: bool,
+                 ablate: frozenset,
                  # prefetch
                  step_tile, step_chunk, step_active, step_skip,
                  *refs):
@@ -741,6 +742,23 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
         def _do_a(args, i=i):
             delta_acc, rec_acc, n_unmatched = args
             C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
+            if "no_gather" in ablate:
+                match = jnp.zeros((lanes, SUB), jnp.float32)
+                is_match = jnp.ones((1, SUB), jnp.float32)
+                prior = jnp.zeros((1, SUB), jnp.float32)
+                ismatch_ref[i:i + 1, :] = is_match
+                d_acc = delta_acc
+                if not seed and "no_delta" not in ablate:
+                    d_acc = delta_acc + mm_11(C, match.astype(jnp.bfloat16))
+                if seed or "no_recsum" in ablate:
+                    return d_acc, rec_acc, n_unmatched
+                observed = prior + rank.astype(jnp.float32)
+                high = _onehot((observed >= float(depth)) & valid)
+                rrow = jax.lax.shift_right_logical(rid, 7)
+                rcol = jnp.bitwise_and(rid, 127)
+                Ar = _onehot(rrow == li128)
+                Brh = _onehot(rcol == li128) * high
+                return d_acc, rec_acc + mm_11(Ar, Brh), n_unmatched
             G = mm_00(planes, C)                     # ((nF+nc)*L, SUB)
             # no (L, SUB) valid AND: an invalid element's C column is zero,
             # so a garbage all-zero-window "match" contributes nothing to
@@ -767,9 +785,9 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
             n_un = n_unmatched + jnp.sum(
                 jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
             d_acc = delta_acc
-            if not seed:
+            if not seed and "no_delta" not in ablate:
                 d_acc = delta_acc + mm_11(C, match.astype(jnp.bfloat16))
-            if seed:
+            if seed or "no_recsum" in ablate:
                 return d_acc, rec_acc, n_un
             observed = prior + rank.astype(jnp.float32)
             high = _onehot((observed >= float(depth)) & valid)
@@ -852,7 +870,10 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
         z = jnp.zeros((R, lanes), jnp.float32)
         return (*[z] * nW, z, jnp.zeros((), jnp.float32))
 
-    out = jax.lax.cond(n_unmatched > 0.0, _insert_path, _no_insert, None)
+    if "no_insert" in ablate:
+        out = _no_insert(None)
+    else:
+        out = jax.lax.cond(n_unmatched > 0.0, _insert_path, _no_insert, None)
     *wrote, delta_ins, dropped = out
 
     delta_ref[:] += delta_acc + delta_ins
@@ -883,7 +904,7 @@ def bucket_batch_wide(
     k: int, rows: int, depth: int, windows_per_read: int,
     chunk: int = 16384, tile_rows: int = TILE_ROWS, lanes: int = LANES,
     seed: bool = False,
-    keyed: bool = False, interpret: bool = False,
+    keyed: bool = False, interpret: bool = False, ablate: tuple = (),
     rid_flat=None, n_reads: int = 0, row_shift: int = 0,
     relaxed: bool = False,
 ):
@@ -1087,7 +1108,7 @@ def bucket_batch_wide(
 
     outs = pl.pallas_call(
         partial(_kernel_wide, row_shift, nA, nB, b - 32, depth, chunk,
-                tile_rows, lanes, seed),
+                tile_rows, lanes, seed, frozenset(ablate)),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,

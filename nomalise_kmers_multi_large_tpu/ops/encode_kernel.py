@@ -59,20 +59,43 @@ def _mix_inline(x, bits: int):
     return pltpu.bitcast(u, jnp.int32) & mask
 
 
+def _window_codes(b, k: int, lp: int, comp: bool):
+    """2k-bit window codes of every start position via LOG-DOUBLING:
+    D_m[:, i] = code of bases i..i+m-1 (complemented when `comp`, building
+    the reverse-complement: rc(xy) = rc(y) ++ rc(x), so the doubled word
+    takes the ROLLED half on top and pieces compose at shift 2*offset).
+    ceil(log2 k) + popcount(k)-1 lane-rolls instead of k-1 — Mosaic rolls
+    are the entire cost of this kernel (~27 ps/element each; the straight
+    k-1-roll version measured 1.7 ms/batch at k=15, docs/PERF_NOTES.md
+    round 4)."""
+    base = (b ^ 3) if comp else b
+    D = {1: base}
+    m = 1
+    while 2 * m <= k:
+        rolled = pltpu.roll(D[m], lp - m, 1)         # D_m[:, i+m]
+        D[2 * m] = ((rolled << (2 * m)) | D[m]) if comp \
+            else ((D[m] << (2 * m)) | rolled)
+        m *= 2
+    code = None
+    o = 0
+    for p in (8, 4, 2, 1):
+        if not (k & p):
+            continue
+        piece = D[p] if o == 0 else pltpu.roll(D[p], lp - o, 1)
+        sh = 2 * o if comp else 2 * (k - o - p)
+        piece = piece << sh
+        code = piece if code is None else code | piece
+        o += p
+    return code
+
+
 def _kernel(k: int, canonical: bool, w: int, lp: int, mix0: int,
             b_ref, key_ref):
     b = b_ref[:].astype(jnp.int32)                   # (B, Lp)
-    fwd = jnp.zeros_like(b)
-    for j in range(k):
-        col = b if j == 0 else pltpu.roll(b, lp - j, 1)  # col[:, i] = b[:, i+j]
-        fwd = fwd | (col << (2 * (k - 1 - j)))
-    code = fwd
+    code = _window_codes(b, k, lp, comp=False)
     if canonical:
-        rc = jnp.zeros_like(b)
-        for j in range(k):
-            col = b if j == 0 else pltpu.roll(b, lp - j, 1)
-            rc = rc | ((col ^ 3) << (2 * j))
-        code = jnp.minimum(fwd, rc)                  # < 2^30: int32-safe
+        rc = _window_codes(b, k, lp, comp=True)
+        code = jnp.minimum(code, rc)                 # < 2^30: int32-safe
     mixed = _mix_inline(code, 2 * k)
     # read length rides in the last two pad bytes (hi, lo)
     length = b[:, lp - 2:lp - 1] * 256 + b[:, lp - 1:lp]     # (B, 1)
@@ -104,6 +127,48 @@ def _lshr(x, s: int):
         pltpu.bitcast(x, jnp.uint32) >> jnp.uint32(s), jnp.int32)
 
 
+def _window_codes_2w(b, k: int, lp: int, comp: bool):
+    """Two-word (hi, lo) 2k-bit window codes via the same log-doubling as
+    _window_codes: every intermediate D_m (m <= 16) fits one 32-bit word;
+    only the final composition spills across the hi/lo pair.
+    ceil(log2 k) + popcount(k)-1 rolls instead of k-1."""
+    base = (b ^ 3) if comp else b
+    D = {1: base}
+    m = 1
+    while 2 * m <= k:
+        rolled = pltpu.roll(D[m], lp - m, 1)         # D_m[:, i+m]
+        if comp:
+            # rc(xy) = rc(y) ++ rc(x): rolled half on top. 2m = 32 shifts
+            # the kept half fully out: the doubled word IS the rolled one
+            # shifted, OR'd via uint semantics below
+            D[2 * m] = pltpu.bitcast(
+                (pltpu.bitcast(rolled, jnp.uint32) << jnp.uint32(2 * m))
+                | pltpu.bitcast(D[m], jnp.uint32), jnp.int32)
+        else:
+            D[2 * m] = pltpu.bitcast(
+                (pltpu.bitcast(D[m], jnp.uint32) << jnp.uint32(2 * m))
+                | pltpu.bitcast(rolled, jnp.uint32), jnp.int32)
+        m *= 2
+    hi = jnp.zeros_like(b)
+    lo = jnp.zeros_like(b)
+    o = 0
+    for p in (16, 8, 4, 2, 1):
+        if not (k & p):
+            continue
+        piece = D[p] if o == 0 else pltpu.roll(D[p], lp - o, 1)
+        sh = 2 * o if comp else 2 * (k - o - p)      # bit offset in the code
+        if sh >= 32:
+            hi = hi | (piece << (sh - 32))
+        else:
+            lo = lo | (piece << sh)
+            if sh > 0:
+                hi = hi | _lshr(piece, 32 - sh)
+            elif 2 * p > 32:
+                pass  # cannot happen: D_p <= 32 bits
+        o += p
+    return hi, lo
+
+
 def _kernel_wide(k: int, canonical: bool, w: int, lp: int,
                  b_ref, w1_ref, w2_ref):
     """Wide (k > 15) fused encode+mix: 62-bit window codes as two planes,
@@ -111,25 +176,9 @@ def _kernel_wide(k: int, canonical: bool, w: int, lp: int,
     fold. Mirrors _kernel below; see encode_keys_wide."""
     bts = b_ref[:].astype(jnp.int32)                 # (B, Lp)
     b = 2 * k
-    hi = jnp.zeros_like(bts)
-    lo = jnp.zeros_like(bts)
-    for j in range(k):
-        col = bts if j == 0 else pltpu.roll(bts, lp - j, 1)
-        sh = 2 * (k - 1 - j)                         # even: never straddles
-        if sh >= 32:
-            hi = hi | (col << (sh - 32))
-        else:
-            lo = lo | (col << sh)
+    hi, lo = _window_codes_2w(bts, k, lp, comp=False)
     if canonical:
-        rhi = jnp.zeros_like(bts)
-        rlo = jnp.zeros_like(bts)
-        for j in range(k):
-            col = (bts if j == 0 else pltpu.roll(bts, lp - j, 1)) ^ 3
-            sh = 2 * j
-            if sh >= 32:
-                rhi = rhi | (col << (sh - 32))
-            else:
-                rlo = rlo | (col << sh)
+        rhi, rlo = _window_codes_2w(bts, k, lp, comp=True)
         hu = pltpu.bitcast(hi, jnp.uint32)
         lu = pltpu.bitcast(lo, jnp.uint32)
         rhu = pltpu.bitcast(rhi, jnp.uint32)
