@@ -253,15 +253,17 @@ class Normalizer:
                             self._record_seq(batch.fwd_file, batch.fwd, i),
                             sys.stdout)
                 # seeding uses the strictly-greater length rule (len > k, :1347)
-                bases, lengths, _ = self._pack(batch, cfg.ksize + 1)
-                if isinstance(self.tables[0], DirectTable):
-                    seed_codes.append(self._host_codes(bases, lengths))
-                else:
-                    self._maybe_grow(
-                        0, bases.shape[0] * (bases.shape[1] - cfg.ksize + 1))
-                    # growth swaps the table descriptor; re-resolve the step
-                    seed_step = self._get_step(0, paired=False)
-                    self.states[0] = seed_step.seed_step(self.states[0], bases, lengths)
+                with self.timer.stage("seed"):
+                    bases, lengths, _ = self._pack(batch, cfg.ksize + 1)
+                    if isinstance(self.tables[0], DirectTable):
+                        seed_codes.append(self._host_codes(bases, lengths))
+                    else:
+                        self._maybe_grow(
+                            0, bases.shape[0] * (bases.shape[1] - cfg.ksize + 1))
+                        # growth swaps the table descriptor; re-resolve the step
+                        seed_step = self._get_step(0, paired=False)
+                        self.states[0] = seed_step.seed_step(
+                            self.states[0], bases, lengths)
                 remaining -= take
                 if remaining <= 0:
                     break
@@ -272,6 +274,13 @@ class Normalizer:
             else:
                 self.seeded_lo = np.empty(0, np.uint32)
         else:
+            with self.timer.stage("seed"):
+                # drain the async seed dispatches so their device time is
+                # attributed here, not to the first main-pass device_wait
+                # (the tunnel's block_until_ready returns early; a 1-element
+                # get forces completion — bench.py _sync)
+                leaf = jax.tree.leaves(self.states[0])[0]
+                np.asarray(jax.device_get(leaf.ravel()[0:1]))
             # replicate the seeded table to every shard (copy_hash_table
             # :908-927) — including any growth the seed pass triggered
             for s in range(1, len(self.states)):
