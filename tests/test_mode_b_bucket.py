@@ -200,3 +200,28 @@ def test_mode_b_bucket_batch_cap_validated():
                    ksize=13, sharding="global", table="bucket",
                    batch_reads=8193),
             n_devices=8)
+
+
+def test_mode_b_bucket_relaxed_counts_exact(tmp_path):
+    """--mode relaxed on the Mode B bucket mesh: table counts and totals
+    stay EXACT (the relaxation only reorders rank attribution among a
+    batch's equal codes), so the -P dump must be byte-identical to the
+    exact mesh run and processed totals conserved."""
+    sub = tmp_path / "a1_head.fastq"
+    _head_fastq(T / "a1.fastq", sub, 300)
+    e, r = tmp_path / "exact", tmp_path / "relaxed"
+    e.mkdir(), r.mkdir()
+    base = dict(
+        forward_files=(str(sub),), single=True, ksize=13, depth=4,
+        batch_reads=128, table="bucket", print_table=True,
+        sharding="global",
+    )
+    rep_e = MeshNormalizer(
+        Config(out_dir=str(e), mode="exact", **base), n_devices=8).run()
+    rep_r = MeshNormalizer(
+        Config(out_dir=str(r), mode="relaxed", **base), n_devices=8).run()
+    assert rep_e.total_processed == rep_r.total_processed == 300
+    assert rep_e.max_total_kmers == rep_r.max_total_kmers
+    de = (e / "output_kmer.k13_norm4_thread0.tsv").read_bytes()
+    dr = (r / "output_kmer.k13_norm4_thread0.tsv").read_bytes()
+    assert de == dr
