@@ -253,6 +253,18 @@ def main_e2e(n_pairs: int = 100_000):
 
     d_reads = 2 * (n_big - n_small)
     d_wall = wall_b - wall_s
+    if d_wall <= 0:
+        # wild host variance (or a cache warming mid-measurement) can make
+        # the delta degenerate; a garbage negative rate must never be
+        # recorded as a result
+        print(json.dumps({
+            "metric": "reads/s end-to-end steady-state (DEGENERATE TIMING: "
+                      "big run not slower than small run; rerun)",
+            "value": 0, "unit": "reads/s",
+            "warm_small_wall_s": round(wall_s, 2),
+            "warm_big_wall_s": round(wall_b, 2),
+        }), flush=True)
+        return
     # per-stage steady-state deltas; they sum to ~d_wall (untracked remainder
     # is reported explicitly rather than hidden)
     d_stage = {name: round((stages_b.get(name, 0.0)
