@@ -12,10 +12,13 @@ prefix quantities (ops/bucket_kernel.py preprocessing):
 
 As plain XLA ops these are one cummax + one cumsum + one cummax over the flat
 N-element stream, which XLA lowers to ~3.5 ns/element on TPU — as expensive
-as the sort itself. This kernel computes all three in ONE pass at HBM
-bandwidth using two-level scans: log-roll Hillis-Steele along lanes, a
-sublane-dim scan of row aggregates, and a scalar carry chained through the
-sequential grid (SMEM scratch).
+as the sort itself. This kernel computes all three in ONE pass using TWO
+packed segmented sums (value bits 0..19, reset flag bit 20; rank = run
+position via reset-at-code-change, cand = distinct-code count via
+reset-at-row-change) over two-level scans: log-roll Hillis-Steele along
+lanes, a sublane-dim scan of row aggregates, and a scalar carry chained
+through the sequential grid (SMEM scratch). The segmented-sum combine is
+non-commutative, so every scan helper applies earlier operands on the left.
 """
 from __future__ import annotations
 
@@ -32,12 +35,13 @@ BLOCK = BLOCK_LANES * BLOCK_SUBLANES  # elements per grid step
 
 
 def _lane_scan(x, op):
-    """Inclusive scan along axis=1 (lanes) via log-doubling rolls."""
+    """Inclusive scan along axis=1 (lanes) via log-doubling rolls. `op` takes
+    (earlier, later) — order matters for the segmented op below."""
     l_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
     while shift < x.shape[1]:
         r = pltpu.roll(x, shift, 1)
-        x = jnp.where(l_iota >= shift, op(x, r), x)
+        x = jnp.where(l_iota >= shift, op(r, x), x)
         shift *= 2
     return x
 
@@ -48,7 +52,7 @@ def _row_scan_inclusive(rowagg, op):
     shift = 1
     while shift < rowagg.shape[0]:
         r = pltpu.roll(rowagg, shift, 0)
-        rowagg = jnp.where(s_iota >= shift, op(rowagg, r), rowagg)
+        rowagg = jnp.where(s_iota >= shift, op(r, rowagg), rowagg)
         shift *= 2
     return rowagg
 
@@ -56,14 +60,16 @@ def _row_scan_inclusive(rowagg, op):
 def _two_level(vals, op, identity, carry):
     """Inclusive row-major scan of an (S, L) block given the carry scalar.
 
+    Earlier elements are always the LEFT operand of `op` (the carry is the
+    leftmost prefix), so non-commutative ops (segmented sums) are safe.
     Returns (scanned block incl. carry, new carry scalar)."""
     lane = _lane_scan(vals, op)
     rowagg = lane[:, BLOCK_LANES - 1:BLOCK_LANES]            # (S, 1)
     incl = _row_scan_inclusive(rowagg, op)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, incl.shape, 0)
     excl = jnp.where(s_iota >= 1, pltpu.roll(incl, 1, 0), identity)
-    out = op(op(lane, excl), carry)
-    new_carry = op(incl[BLOCK_SUBLANES - 1, 0], carry)
+    out = op(op(carry, excl), lane)
+    new_carry = op(carry, incl[BLOCK_SUBLANES - 1, 0])
     return out, new_carry
 
 
@@ -79,10 +85,9 @@ def _kernel(row_shift: int, n_reads: int, wide: bool,
     @pl.when(s == 0)
     def _():
         carry_ref[0] = 0            # prev block's last key bits (unused at s=0)
-        carry_ref[1] = 0            # cumsum(changed) so far
-        carry_ref[2] = -1           # cummax(changed ? gidx : -1) so far
-        carry_ref[3] = -1           # cummax(rchanged ? segidx : -1) so far
-        carry_ref[4] = 0            # prev block's last key2 bits
+        carry_ref[1] = 0            # rank segsum carry (run length so far)
+        carry_ref[2] = 0            # cand segsum carry (distinct codes so far)
+        carry_ref[3] = 0            # prev block's last key2 bits
 
     key = key_ref[:]                                         # (S, L) int32 bits
     gidx = (s * BLOCK
@@ -104,7 +109,7 @@ def _kernel(row_shift: int, n_reads: int, wide: bool,
     changed = (key != prev) | first
     if wide:
         key2 = key2_ref[:]
-        prev2 = prev_of(key2, 4)
+        prev2 = prev_of(key2, 3)
         changed = changed | (key2 != prev2)
     row = jax.lax.shift_right_logical(
         pltpu.bitcast(key, jnp.uint32), jnp.uint32(row_shift))
@@ -112,29 +117,39 @@ def _kernel(row_shift: int, n_reads: int, wide: bool,
         pltpu.bitcast(prev, jnp.uint32), jnp.uint32(row_shift))
     rchanged = (row != prow) | first
 
-    vmax = lambda a, b: jnp.maximum(a, b)
-    vadd = lambda a, b: a + b
+    # TWO packed SEGMENTED sums replace the old three plain scans (cumsum +
+    # two cummaxes): value field = bits 0..19, reset flag = bit 20.
+    #   rank: seg-sum of 1, reset where the code changes -> position in run.
+    #   cand: seg-sum of `changed`, reset where the ROW changes -> 1 + the
+    #         element's distinct-code index within its row this batch.
+    # Earlier-operand-first combine: a reset on the right wins outright,
+    # else values add (in-block sums <= 32768 + clamped carry 65535 < 2^20,
+    # so the flag bit is never reached by addition). Saves a third of the
+    # scan's lane-roll work (the kernel's entire cost).
+    FLAG = jnp.int32(1 << 20)
 
-    head, c_head = _two_level(
-        jnp.where(changed, gidx, -1), vmax, jnp.int32(-1), carry_ref[2])
-    csum, c_sum = _two_level(
-        changed.astype(jnp.int32), vadd, jnp.int32(0), carry_ref[1])
-    segidx = csum - 1
-    rowhead, c_row = _two_level(
-        jnp.where(rchanged, segidx, -1), vmax, jnp.int32(-1), carry_ref[3])
+    def seg(a, b):
+        return jnp.where(b >= FLAG, b, a + b)
 
-    rank = jnp.minimum(gidx - head + 1, 65535)
-    cand = jnp.minimum(segidx - rowhead, 128)
+    rank_p, c_rank = _two_level(
+        jnp.where(changed, FLAG + 1, 1), seg, jnp.int32(0), carry_ref[1])
+    cand_p, c_cand = _two_level(
+        jnp.where(rchanged, FLAG + 1, changed.astype(jnp.int32)),
+        seg, jnp.int32(0), carry_ref[2])
+
+    rank = jnp.minimum(rank_p & (FLAG - 1), 65535)
+    cand = jnp.minimum((cand_p & (FLAG - 1)) - 1, 128)
 
     p2_ref[:] = rid16_ref[:] | rank
     p3_ref[:] = cand
 
     carry_ref[0] = key[BLOCK_SUBLANES - 1, BLOCK_LANES - 1]
-    carry_ref[1] = c_sum
-    carry_ref[2] = c_head
-    carry_ref[3] = c_row
+    # strip the flag and clamp: the carried value acts as a pure prefix sum
+    # for the next block (clamping preserves the >= 65535 / >= 129 verdicts)
+    carry_ref[1] = jnp.minimum(c_rank & (FLAG - 1), 65535)
+    carry_ref[2] = jnp.minimum(c_cand & (FLAG - 1), 65535)
     if wide:
-        carry_ref[4] = key2[BLOCK_SUBLANES - 1, BLOCK_LANES - 1]
+        carry_ref[3] = key2[BLOCK_SUBLANES - 1, BLOCK_LANES - 1]
 
 
 def rank_cand_scan(skey: jax.Array, srid: jax.Array, *, fp_bits: int, w: int,
@@ -185,7 +200,7 @@ def rank_cand_scan(skey: jax.Array, srid: jax.Array, *, fp_bits: int, w: int,
             jax.ShapeDtypeStruct((n // BLOCK_LANES, BLOCK_LANES), jnp.int32),
             jax.ShapeDtypeStruct((n // BLOCK_LANES, BLOCK_LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
         interpret=interpret,
     )(*ins)
     return p2.reshape(n), p3.reshape(n)
