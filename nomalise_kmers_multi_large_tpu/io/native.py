@@ -27,9 +27,15 @@ def _build() -> Optional[str]:
     cc = sysconfig.get_config_var("CC") or "cc"
     cc = cc.split()[0]
     tmp = tempfile.mktemp(suffix=".so", dir=_HERE)
-    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+           "-o", tmp, _SRC]
+    cmd_portable = [cc, "-O3", "-shared", "-fPIC", "-pthread", "-o", tmp, _SRC]
     try:
-        subprocess.run(cmd, check=True, capture_output=True)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            # cross/odd toolchains may reject -march=native
+            subprocess.run(cmd_portable, check=True, capture_output=True)
         os.replace(tmp, _SO)
         return _SO
     except (subprocess.CalledProcessError, OSError):
@@ -53,35 +59,61 @@ def get_lib() -> Optional[ctypes.CDLL]:
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
-    lib.fastx_frame.restype = c_i64
-    lib.fastx_frame.argtypes = [
-        u8p, c_i64, c_i64, ctypes.c_int, c_i64, i64p, ctypes.POINTER(c_i64)
+    lib.fastx_frame_win.restype = c_i64
+    lib.fastx_frame_win.argtypes = [
+        u8p, c_i64, c_i64, c_i64, ctypes.c_int, c_i64, i64p,
+        ctypes.POINTER(c_i64), ctypes.c_int,
     ]
-    lib.fastx_pack.restype = c_i64
-    lib.fastx_pack.argtypes = [u8p, c_i64, i64p, i64p, c_i64, c_i64, c_i64, u8p, i32p]
+    lib.fastx_pack_mt.restype = c_i64
+    lib.fastx_pack_mt.argtypes = [
+        u8p, c_i64, i64p, i64p, c_i64, c_i64, c_i64, u8p, i32p, ctypes.c_int,
+    ]
     lib.fastx_emit.restype = c_i64
     lib.fastx_emit.argtypes = [u8p, i64p, u8p, c_i64, u8p, c_i64]
     _lib = lib
     return _lib
 
 
+def default_threads() -> int:
+    """IO worker threads: NKMT_IO_THREADS overrides; else all cores (the
+    ctypes calls release the GIL, so the C pool scales past one core even
+    under a Python prefetch thread)."""
+    env = os.environ.get("NKMT_IO_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return max(1, os.cpu_count() or 1)
+
+
 # ----------------------------------------------------------------------
-def frame(data: np.ndarray, start: int, lines_per_record: int, max_records: int):
-    """Returns (cols int64 [n, 6], next_start) or None if native unavailable."""
+def frame(data: np.ndarray, start: int, lines_per_record: int,
+          max_records: int, threads: int = 0, scan_end: int = -1):
+    """Returns (cols int64 [n, 6], next_start) or None if native unavailable.
+
+    threads > 1 parallelizes the newline index (count + fill passes) across
+    a per-call pthread pool; 0 = default_threads(). scan_end bounds the scan
+    window for streaming callers (records crossing it are left for the next
+    call); -1 = end of buffer."""
     lib = get_lib()
     if lib is None:
         return None
     cols = np.empty((max_records, 6), np.int64)
     nxt = ctypes.c_longlong(0)
-    n = lib.fastx_frame(
-        np.ascontiguousarray(data), data.shape[0], start, lines_per_record,
+    n = lib.fastx_frame_win(
+        np.ascontiguousarray(data), data.shape[0], start,
+        scan_end if scan_end >= 0 else data.shape[0], lines_per_record,
         max_records, cols, ctypes.byref(nxt),
+        threads if threads > 0 else default_threads(),
     )
+    if n < 0:
+        return None  # allocation failure: caller falls back to numpy
     return cols[:n], int(nxt.value)
 
 
 def pack(data: np.ndarray, starts: np.ndarray, lens: np.ndarray, pad: int,
-         min_len: int):
+         min_len: int, threads: int = 0):
     """Returns (bases u8 [n, pad], lengths i32 [n]) or None; raises on bad DNA."""
     lib = get_lib()
     if lib is None:
@@ -89,11 +121,12 @@ def pack(data: np.ndarray, starts: np.ndarray, lens: np.ndarray, pad: int,
     n = starts.shape[0]
     bases = np.empty((n, pad), np.uint8)
     lengths = np.empty(n, np.int32)
-    rc = lib.fastx_pack(
+    rc = lib.fastx_pack_mt(
         np.ascontiguousarray(data), data.shape[0],
         np.ascontiguousarray(starts, np.int64),
         np.ascontiguousarray(lens, np.int64),
         n, pad, min_len, bases, lengths,
+        threads if threads > 0 else default_threads(),
     )
     if rc < 0:
         row = -int(rc) - 1

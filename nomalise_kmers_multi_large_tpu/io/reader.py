@@ -56,10 +56,11 @@ class RecordColumns:
 class FastxFile:
     """One memory-mapped FASTQ/FASTA input file with streaming record framing."""
 
-    def __init__(self, path: str, fastq: bool):
+    def __init__(self, path: str, fastq: bool, io_threads: int = 0):
         self.path = path
         self.fastq = fastq
         self.lines_per_record = 4 if fastq else 2
+        self.io_threads = io_threads  # 0 = native.default_threads()
         self.data: np.ndarray = np.memmap(path, np.uint8, "r")
         self.size = int(self.data.shape[0])
         # magic-byte check (reference main :2336-2346)
@@ -72,11 +73,58 @@ class FastxFile:
             )
 
     def record_blocks(self, chunk_bytes: int = _CHUNK) -> Iterator[RecordColumns]:
-        """Yield blocks of complete records in file order."""
+        """Yield blocks of complete records in file order.
+
+        Uses the native multi-threaded framer (io/_fastx.c fastx_frame_win:
+        parallel newline index + arithmetic column build) when available;
+        the numpy sweep below is the portable fallback and differential
+        oracle (tests/test_native.py)."""
+        from nomalise_kmers_multi_large_tpu.io import native
+
+        if native.get_lib() is not None:
+            yield from self._record_blocks_native(chunk_bytes)
+            return
+        yield from self._record_blocks_numpy(chunk_bytes)
+
+    def _record_blocks_native(self, chunk_bytes: int) -> Iterator[RecordColumns]:
+        from nomalise_kmers_multi_large_tpu.io import native
+
         lpr = self.lines_per_record
         pos = 0
+        window = chunk_bytes
+        while pos < self.size:
+            scan_end = min(pos + window, self.size)
+            # record-count cap only bounds the cols buffer; a saturated call
+            # simply resumes from next_start on the next loop iteration
+            max_records = min(chunk_bytes // 128 + 16, 1 << 20)
+            got = native.frame(self.data, pos, lpr, max_records,
+                               threads=self.io_threads, scan_end=scan_end)
+            if got is None:  # native lost mid-stream (alloc failure)
+                yield from self._record_blocks_numpy(chunk_bytes, start=pos)
+                return
+            cols, nxt = got
+            if len(cols):
+                # one contiguous copy releases the oversized frame buffer;
+                # the yielded columns are views into it
+                cols = cols.copy()
+                yield RecordColumns(
+                    rec_start=cols[:, 0], rec_end=cols[:, 1],
+                    hdr_start=cols[:, 2], hdr_len=cols[:, 3],
+                    seq_start=cols[:, 4], seq_len=cols[:, 5],
+                )
+                pos = nxt
+                window = chunk_bytes
+            elif scan_end >= self.size:
+                return  # trailing partial record: unframed (numpy path too)
+            else:
+                window *= 2  # a record crosses the window; widen and retry
+
+    def _record_blocks_numpy(self, chunk_bytes: int,
+                             start: int = 0) -> Iterator[RecordColumns]:
+        lpr = self.lines_per_record
+        pos = start
         carry = np.empty(0, np.int64)  # newline offsets not yet forming a record
-        boundary = 0  # start offset of the next unframed record
+        boundary = start  # start offset of the next unframed record
         while pos < self.size:
             end = min(pos + chunk_bytes, self.size)
             nl = np.flatnonzero(self.data[pos:end] == 10).astype(np.int64) + pos
@@ -93,7 +141,8 @@ class FastxFile:
                 rec_start[1:] = m[:-1, -1] + 1
                 yield RecordColumns(
                     rec_start=rec_start,
-                    rec_end=m[:, -1] + 1,
+                    # clamp: the implicit EOF newline is not a real byte
+                    rec_end=np.minimum(m[:, -1] + 1, self.size),
                     hdr_start=rec_start,
                     hdr_len=m[:, 0] - rec_start,
                     seq_start=m[:, 0] + 1,
