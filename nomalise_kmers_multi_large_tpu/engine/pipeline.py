@@ -72,6 +72,15 @@ class Normalizer:
         #: next batch could actually cross the headroom (see _maybe_grow).
         self._used_bound = [0.0] * cfg.shards
         self._grow_enabled = True
+        #: host mirror of each shard's state.overflow at the last retire:
+        #: a retire that observes growth here triggers grow-and-replay
+        #: (_grow_and_replay) so a full bucket row never loses inserts
+        #: for the rest of the run (reference growth precedes loss,
+        #: nk.c:933-934)
+        self._overflow_seen = [0] * cfg.shards
+        #: shards whose state was rewound+regrown by a replay during the
+        #: current flush (the flush must re-dispatch its own staged group)
+        self._replayed_shards: set[int] = set()
         #: --debug>2 per-upsert tier (reference nk.c:944,:1050): one exact
         #: host shadow table per shard, replayed at retire time
         self._shadows = None
@@ -385,6 +394,14 @@ class Normalizer:
             if cfg.print_table:
                 self._dump_seed_table()
 
+        # baseline the overflow mirror: drops already in the seeded/resumed
+        # states predate the main loop and cannot be replayed
+        self._overflow_seen = [
+            int(st.overflow) if getattr(st, "overflow", None) is not None
+            else 0
+            for st in self.states
+        ] + [0] * max(0, cfg.shards - len(self.states))
+
         self.writers = [
             ShardWriter(cfg, s,
                         resume_sizes=resume.output_sizes if resume else None)
@@ -429,6 +446,21 @@ class Normalizer:
             # overhead (~0.9 ms on this platform) to 0.9/G ms per batch
             groups: dict[int, list] = {}
 
+            def dispatch(shard: int, q: list):
+                """One staged-group dispatch, bracketed by the state handles
+                the overflow grow-and-replay protocol needs."""
+                pre = self._replay_snapshot(shard)
+                with self.timer.stage("dispatch"):
+                    keep, stats, tallies = self._dispatch_queue(
+                        shard, q, paired)
+                post = self._pre_dispatch_state(shard)
+                # copy the overflow scalar NOW: the state itself is donated
+                # to the next dispatch before this one retires
+                post_of = None
+                if post is not None and post.overflow is not None:
+                    post_of = post.overflow.copy()
+                return (q, shard, keep, stats, tallies, pre, post_of)
+
             def flush_shard(shard: int) -> int:
                 """Dispatch shard's staged batches; retire the previous
                 in-flight dispatch. Returns records retired."""
@@ -437,15 +469,20 @@ class Normalizer:
                 if not q:
                     return 0
                 w = q[0][1].shape[1] - cfg.ksize + 1
-                self._maybe_grow(shard, sum(x[1].shape[0] for x in q) * w)
-                with self.timer.stage("dispatch"):
-                    keep, stats, tallies = self._dispatch_queue(
-                        shard, q, paired)
+                with self.timer.stage("grow_check"):
+                    self._maybe_grow(shard, sum(x[1].shape[0] for x in q) * w)
+                entry = dispatch(shard, q)
                 done = 0
                 if pending is not None:
-                    done = self._retire_group(*pending)
-                pending = ([x[0] for x in q], shard, keep, stats, tallies,
-                           [x[3] for x in q])
+                    done = self._retire_checked(pending, paired)
+                    replayed, self._replayed_shards = self._replayed_shards, set()
+                    if shard in replayed:
+                        # the dispatch above consumed a state the replay just
+                        # rewound: redo it on the grown table (only the
+                        # current in-flight group can be invalidated — the
+                        # flag dies with this flush)
+                        entry = dispatch(shard, q)
+                pending = entry
                 return done
 
             def drain() -> int:
@@ -455,7 +492,8 @@ class Normalizer:
                 for s in list(groups):
                     done += flush_shard(s)
                 if pending is not None:
-                    done += self._retire_group(*pending)
+                    done += self._retire_checked(pending, paired)
+                    self._replayed_shards.clear()
                     pending = None
                 return done
 
@@ -471,7 +509,18 @@ class Normalizer:
             pit = (PrefetchIterator(produce(), depth=cfg.prefetch)
                    if cfg.prefetch > 0 else produce())
             try:
-                for batch, (bases, lengths, rec_valid) in pit:
+                src = iter(pit)
+                while True:
+                    # time blocked on the producer separately from the
+                    # producer's own work: with a prefetch worker, "pack"
+                    # accumulates on the worker thread (overlapped with
+                    # device time) while produce_wait is the main thread's
+                    # actual exposure to host ingest
+                    try:
+                        with self.timer.stage("produce_wait"):
+                            batch, (bases, lengths, rec_valid) = next(src)
+                    except StopIteration:
+                        break
                     n = len(batch)
                     if skip:
                         take = min(skip, n)
@@ -575,6 +624,82 @@ class Normalizer:
         paths = [p for w in self.writers for p in w.paths()]
         ckpt.save(self._states_for_checkpoint(), self.counters, file_index,
                   records_done, paths, rr, self.seeded_lo)
+
+    def _pre_dispatch_state(self, shard: int):
+        """State handle bracketing a dispatch for the overflow grow-and-replay
+        protocol. None disables replay (the mesh engines empty self.states
+        once their stacked/global sharded states take over and keep the
+        overflow-warning behavior instead)."""
+        if not self.states or shard >= len(self.states):
+            return None
+        return self.states[shard]
+
+    def _replay_snapshot(self, shard: int):
+        """Device-side copy of the shard state, the replay source for
+        overflow grow-and-replay: the jitted step DONATES its input state
+        (in-place table aliasing), so the live buffers cannot be rewound.
+        One async ~8 MB copy per group dispatch at default table sizes;
+        skipped when replay could never apply."""
+        st = self._pre_dispatch_state(shard)
+        if st is None or st.overflow is None or not self._grow_enabled \
+                or not getattr(self.tables[shard], "can_grow", False):
+            return None
+        return jax.tree.map(lambda x: x.copy(), st)
+
+    def _retire_checked(self, entry, paired: bool) -> int:
+        """Retire one dispatch, first checking its post-state overflow
+        counter against the host mirror: growth there means a bucket row
+        filled and the kernel dropped inserts — the results are discarded
+        and the group replayed on a grown table (_grow_and_replay)."""
+        q, shard, keep, stats, tallies, pre, post_of = entry
+        if pre is not None and post_of is not None:
+            t = self.tables[shard]
+            of_post = int(post_of)
+            if of_post > self._overflow_seen[shard] \
+                    and self._grow_enabled and getattr(t, "can_grow", False):
+                keep, stats, tallies = self._grow_and_replay(
+                    shard, q, paired, pre, of_post)
+            else:
+                self._overflow_seen[shard] = of_post
+        return self._retire_group(
+            [x[0] for x in q], shard, keep, stats, tallies,
+            [x[3] for x in q])
+
+    def _grow_and_replay(self, shard: int, q: list, paired: bool,
+                         pre_state, of_post: int):
+        """A dispatch overflowed a bucket row. The reference never loses an
+        insert — growth precedes need (nk.c:933-934). Equivalent recovery
+        here, exploiting immutability: the overflowing result is discarded,
+        the table grows from the PRE-dispatch state, and the same batches
+        replay on the grown table; the replay's decisions and counters are
+        the ones retired. Loops (growing again from the pre-chain, never
+        from a partially-dropped post state) until the replay is drop-free
+        or the table can no longer grow."""
+        of_base = self._overflow_seen[shard]
+        t = self.tables[shard]
+        print(
+            f"Thread {shard}: table row overflow "
+            f"({of_post - of_base:,} dropped inserts): growing from "
+            f"{t.capacity:,} slots and replaying the batch group",
+            file=sys.stderr,
+        )
+        cur_t, cur_pre = t.grown(pre_state)
+        while True:
+            self.tables[shard] = cur_t
+            # dispatch donates its input state: replay from a copy so
+            # cur_pre survives for a further doubling if still overflowing
+            self.states[shard] = jax.tree.map(lambda x: x.copy(), cur_pre)
+            with self.timer.stage("dispatch"):
+                keep, stats, tallies = self._dispatch_queue(shard, q, paired)
+            of_new = int(self.states[shard].overflow)
+            if of_new <= of_base or not getattr(cur_t, "can_grow", False):
+                break
+            cur_t, cur_pre = cur_t.grown(cur_pre)
+        self._overflow_seen[shard] = of_new
+        self._used_bound[shard] = float(
+            cur_t.used_count(self.states[shard], self.seeded_lo))
+        self._replayed_shards.add(shard)
+        return keep, stats, tallies
 
     def _dispatch_queue(self, shard: int, q: list, paired: bool):
         """Dispatch a staged queue to the device; overridden by the mesh

@@ -66,8 +66,5 @@ class CountTable(abc.ABC):
     def capacity(self) -> int:
         ...
 
-    def needs_growth(self, state: TableState) -> bool:
-        return False
-
     def grown(self, state: TableState) -> tuple["CountTable", TableState]:
         raise NotImplementedError

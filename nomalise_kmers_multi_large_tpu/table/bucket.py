@@ -231,9 +231,6 @@ class BucketTable(CountTable):
         (count 0, fingerprint set) so no host-side seed bookkeeping needed."""
         return int(jnp.sum(state.keys != 0))
 
-    def needs_growth(self, state: TableState) -> bool:
-        return int(state.overflow) > 0
-
     def export(self, state: TableState,
                seeded_lo: Optional[np.ndarray] = None):
         """(hi, lo, count) of occupied slots in ascending code order — the

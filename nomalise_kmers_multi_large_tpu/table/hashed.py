@@ -159,9 +159,6 @@ class HashedTable(CountTable):
         # slot indices are int32 on device; 2^30 slots = 12 GB of table state
         return self._capacity < (1 << 30)
 
-    def needs_growth(self, state: TableState) -> bool:
-        return bool(state.overflow > 0) or int(state.used) > self._capacity * _GROW_LOAD
-
     def grown(self, state: TableState):
         """Reallocate at 2x capacity and re-insert every occupied slot (the role of
         the reference's expand_local_hash_table :1055-1108, minus its linear-probe

@@ -187,3 +187,76 @@ def test_mesh_mode_a_grows_mid_stream(fastq, tmp_path):
         f1 = out_t / f"output_forward.k{K}_norm2_thread{s}.fastq"
         f2 = out_b / f"output_forward.k{K}_norm2_thread{s}.fastq"
         assert f1.read_bytes() == f2.read_bytes()
+
+
+# ----------------------------------------------------------------------
+# Overflow grow-and-replay (round-4 verdict item 5): a bucket row that
+# fills all its lanes BELOW the occupancy growth trigger must not lose
+# inserts silently-forever — the engine detects the overflow at retire,
+# grows from the pre-dispatch state, and replays the group.
+# ----------------------------------------------------------------------
+
+def _same_row_reads(k: int, rows: int, n: int) -> list[str]:
+    """n distinct k-length reads whose single k-mer all lands in bucket
+    row 0 (row of code c = mix32(c) >> fp_bits)."""
+    from nomalise_kmers_multi_large_tpu.ops.codec import decode_codes
+    from nomalise_kmers_multi_large_tpu.ops.mix import mix32_np
+
+    fp_bits = 2 * k - int(np.log2(rows))
+    codes = np.arange(1, 400_000, dtype=np.uint32)
+    rows_of = mix32_np(codes, 2 * k) >> np.uint32(fp_bits)
+    picked = codes[rows_of == 0][:n]
+    assert picked.shape[0] == n, "not enough same-row codes in range"
+    return decode_codes(np.zeros_like(picked), picked, k)
+
+
+def test_bucket_row_overflow_grows_and_replays(tmp_path):
+    """70 distinct k-mers in one 64-lane row, one batch: the dispatch drops
+    6, the retire detects the overflow, grows, replays — and every insert
+    is present afterwards (reference growth precedes loss, nk.c:933-934)."""
+    k = 11
+    reads = _same_row_reads(k, rows=128, n=70)
+    p = tmp_path / "same_row.fastq"
+    _write_fastq(p, reads)
+    cfg = Config(
+        forward_files=(str(p),), single=True, ksize=k, depth=100,
+        out_dir=str(tmp_path / "o"), table="bucket", batch_reads=128,
+        seed_records=1,  # reads are exactly k long: the len>k seed rule
+                         # skips them all (nk.c:1347), isolating the main pass
+    )
+    (tmp_path / "o").mkdir()
+    n = Normalizer(cfg)
+    n.tables = [BucketTable(k, rows=128, interpret=True)]
+    n.states = [n.tables[0].init()]
+    rep = n.run()
+    assert n.tables[0].rows > 128, "overflow never triggered a replay-grow"
+    assert int(n.states[0].overflow) == 0, "replay left dropped inserts"
+    assert rep.total_printed == 70
+    _, lo, counts = n.tables[0].export(n.states[0])
+    assert lo.shape[0] == 70 and (counts == 1).all(), \
+        "replay failed to recover every dropped insert"
+
+
+def test_bucket_row_overflow_replay_with_inflight_group(tmp_path):
+    """Same saturation split over three single-batch groups so a group is
+    already in flight when the overflowing one retires: the engine must
+    also re-dispatch the in-flight group from the replayed state."""
+    k = 11
+    reads = _same_row_reads(k, rows=128, n=105)
+    p = tmp_path / "same_row3.fastq"
+    _write_fastq(p, reads)
+    cfg = Config(
+        forward_files=(str(p),), single=True, ksize=k, depth=100,
+        out_dir=str(tmp_path / "o"), table="bucket", batch_reads=35,
+        seed_records=1,
+    )
+    (tmp_path / "o").mkdir()
+    n = Normalizer(cfg)
+    n.tables = [BucketTable(k, rows=128, interpret=True)]
+    n.states = [n.tables[0].init()]
+    rep = n.run()
+    assert n.tables[0].rows > 128
+    assert int(n.states[0].overflow) == 0
+    assert rep.total_printed == 105
+    _, lo, counts = n.tables[0].export(n.states[0])
+    assert lo.shape[0] == 105 and (counts == 1).all()
