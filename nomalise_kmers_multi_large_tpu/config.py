@@ -229,6 +229,18 @@ class Config:
                 )
         if self.stride < 1 or self.stride > self.ksize:
             raise ConfigError(f"stride ({self.stride}) must be in [1, k]")
+        if self.sharding == "global" and self.stride != 1 \
+                and self.table_kind == "bucket":
+            # the Mode B bucket route sorts/merges GLOBAL window ranks; a
+            # strided window subset breaks its fixed-bin accounting
+            # (parallel/modes.py ModeBBucketStep) — reject up front like the
+            # reference's flag checks (nk.c:704-743) instead of tripping an
+            # assert mid-run
+            raise ConfigError(
+                f"--stride {self.stride} is not supported with --sharding "
+                "global on the bucket table; use --sharding local or "
+                "--stride 1"
+            )
         if self.dispatch_group < 1:
             raise ConfigError(
                 f"dispatch-group ({self.dispatch_group}) must be >= 1")
