@@ -135,3 +135,73 @@ def test_relaxed_mode_runs_and_is_close():
     e1, _ = _run_batched(DirectTable(K), reads, 1, False, False)
     r1, _ = _run_batched(DirectTable(K), reads, 1, False, False, mode="relaxed")
     assert e1 == r1
+
+
+def test_pair_rule_avg_pools_tallies():
+    """--pair-rule avg: the reference's commented-out pooled-pair rule
+    (nk.c:1638-1647) — classify on (hf+hr)/(tf+tr), not per-mate AND.
+    A pair with one fully-redundant mate and one fresh mate separates the
+    two rules: AND skips it (fwd ratio 1.0), avg keeps it (pooled ~0.5)."""
+    from nomalise_kmers_multi_large_tpu.models.diginorm import (
+        keep_mask_paired,
+    )
+
+    hf = jnp.array([10, 0, 10])
+    tf = jnp.array([10, 10, 10])
+    hr = jnp.array([0, 0, 10])
+    tr = jnp.array([10, 10, 10])
+    # and: keep iff both ratios < cov -> [False, True, False]
+    np.testing.assert_array_equal(
+        np.asarray(keep_mask_paired(hf, tf, hr, tr, 0.9, rule="and")),
+        [False, True, False])
+    # avg: pooled ratios 0.5, 0.0, 1.0 -> [True, True, False]
+    np.testing.assert_array_equal(
+        np.asarray(keep_mask_paired(hf, tf, hr, tr, 0.9, rule="avg")),
+        [True, True, False])
+
+
+def test_pair_rule_avg_end_to_end(tmp_path):
+    """Engine-level --pair-rule avg: a final pair whose fwd mate is fully
+    redundant but rev mate is fresh is SKIPPED by the default AND rule and
+    PRINTED by avg (the rule the reference's comment calls 'skips fewer
+    sequences', nk.c:1648)."""
+    from nomalise_kmers_multi_large_tpu.config import Config
+    from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
+
+    rng = np.random.default_rng(7)
+    a = "".join(rng.choice(list("ACGT"), size=40))
+    b = "".join(rng.choice(list("ACGT"), size=40))
+    fwd_reads = [a, a, a, a]
+    rev_reads = [a, a, a, b]
+
+    def write(path, reads):
+        with open(path, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    fq_f, fq_r = tmp_path / "f.fastq", tmp_path / "r.fastq"
+    write(fq_f, fwd_reads)
+    write(fq_r, rev_reads)
+
+    def run(rule, sub):
+        out = tmp_path / sub
+        out.mkdir()
+        cfg = Config(
+            forward_files=(str(fq_f),), reverse_files=(str(fq_r),),
+            ksize=K, depth=2, coverage=0.9, out_dir=str(out),
+            pair_rule=rule, seed_records=1,
+        )
+        rep = Normalizer(cfg).run()
+        outp = (out / "output_forward.k9_norm2_thread0.fastq").read_text()
+        return rep, outp
+
+    rep_and, out_and = run("and", "and")
+    rep_avg, out_avg = run("avg", "avg")
+    assert rep_and.total_processed == rep_avg.total_processed == 4
+    # identical mates make even pair 1 differ: its rev mate re-sees every
+    # fwd k-mer at count 2 = depth (ratio 1.0), so AND skips all 4 pairs;
+    # avg pools pairs 1 and 4 down to ratio 0.5 and keeps them
+    assert rep_and.total_printed == 0
+    assert rep_avg.total_printed == 2
+    assert "@r3" not in out_and
+    assert "@r0" in out_avg and "@r3" in out_avg
