@@ -61,11 +61,15 @@ def regen_case(case_dir: pathlib.Path, binary: pathlib.Path) -> list[str]:
         for f in sorted(pathlib.Path(td).glob("output_*")):
             shutil.copy(f, case_dir / f.name)
             copied.append(f.name)
-        # raw stdout/stderr too: the debug_* cases compare DEBUG: line
-        # streams against stdout.txt (stdout_stable.txt stays hand-curated)
-        (case_dir / "stdout.txt").write_text(proc.stdout)
-        (case_dir / "stderr.txt").write_text(proc.stderr)
-        copied.append("stdout.txt")
+        # raw stdout/stderr only for the debug_* cases, which compare
+        # DEBUG: line streams against stdout.txt (stdout_stable.txt stays
+        # hand-curated); other cases don't use the raw captures (round-4
+        # advisor finding: they were written everywhere and under-reported)
+        if case_dir.name.startswith("debug_"):
+            (case_dir / "stdout.txt").write_text(proc.stdout)
+            copied.append("stdout.txt")
+            (case_dir / "stderr.txt").write_text(proc.stderr)
+            copied.append("stderr.txt")
     return copied
 
 

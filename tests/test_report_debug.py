@@ -182,3 +182,29 @@ def test_debug2_upsert_lines_per_shard_paired(tmp_path, capsys):
         assert cnt >= 1
         seen_new += 1
     assert seen_new == len(incr)
+
+
+def test_debug2_upsert_lines_canonical_paired_byte_identical(tmp_path,
+                                                             capsys):
+    """--debug>2 with --canonical on a PAIRED run (2seq as both mates):
+    byte-identical per-upsert lines vs the reference binary — covers the
+    shadow's canonical branch (min(kmer, revcomp) as strings, nk.c:1474)
+    and the fwd-then-rev paired upsert ordering (:1559,:1563), which the
+    single-end golden could not (round-4 advisor finding)."""
+    golden = (
+        pathlib.Path(__file__).parent / "golden"
+        / "debug_2seq_paired_canon_k11_d2" / "stdout.txt"
+    ).read_text().splitlines()
+    want = [ln for ln in golden if ln.startswith("DEBUG: ")]
+    assert len(want) == 1848
+
+    cfg = Config(
+        forward_files=(str(T / "2seq.fastq"),),
+        reverse_files=(str(T / "2seq.fastq"),),
+        ksize=11, depth=2, canonical=True,
+        out_dir=str(tmp_path), table="bucket", debug=3,
+    )
+    Normalizer(cfg).run()
+    got = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("DEBUG: ")]
+    assert got == want
