@@ -66,11 +66,13 @@ class Normalizer:
         self._pad = 0  # adaptive padded read length (static per compiled step)
         self._warned_long_reads = False
         self._steps_cache: dict = {}
-        #: host-side upper bound on each shard's table occupancy: real `used`
-        #: at the last device check plus every window dispatched since. Growth
-        #: checks sync the device, so they only run when this bound says the
-        #: next batch could actually cross the headroom (see _maybe_grow).
+        #: host mirror of each shard's LIVE occupancy (state.used, maintained
+        #: in-graph), refreshed at every retire; growth is gated on it with
+        #: zero extra device syncs (see _maybe_grow)
         self._used_bound = [0.0] * cfg.shards
+        #: windows dispatched since the last live fetch (seed pass only)
+        self._unseen = [0.0] * cfg.shards
+        self._in_seed = False
         self._grow_enabled = True
         #: host mirror of each shard's state.overflow at the last retire:
         #: a retire that observes growth here triggers grow-and-replay
@@ -94,6 +96,9 @@ class Normalizer:
         from nomalise_kmers_multi_large_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer()
+        #: wall seconds per processed input file (pair) — the bench reads
+        #: file 2+ of a multi-file run as the compile-free steady state
+        self.file_walls: list[float] = []
 
     @staticmethod
     def _record_seq(file, cols, i: int) -> bytes:
@@ -123,15 +128,25 @@ class Normalizer:
 
     # ------------------------------------------------------------------
     def _maybe_grow(self, shard: int, inflow: int):
-        """Grow a shard's table BEFORE a batch that could saturate it.
+        """Grow a shard's table when LIVE occupancy crosses its headroom.
 
         The reference grows at 0.8 load factor on every insert
         (nk.c:933-934, expand_local_hash_table :1055-1108) and so never
-        loses one. Here the check costs a device sync, so it is gated on a
-        host-side occupancy upper bound (last real `used` + every window
-        dispatched since): while the bound says the batch cannot cross the
-        table's headroom, no sync happens at all. `inflow` = windows about
-        to be dispatched = worst-case new insertions.
+        loses one. The equivalent trigger here is the live ``state.used``
+        counter — maintained in-graph (the bucket kernel counts its own
+        inserts; the hashed table always did) and mirrored to the host on
+        every retire at zero extra sync cost. The old worst-case gating
+        (every dispatched window counted as a potential insert) ballooned
+        the table 32x under large dispatch groups and recompiled the step
+        at every doubling (round-5 e2e probe: 87 s for a 33 s workload).
+        The mirror is at most one in-flight group stale; a bucket row that
+        fills inside that window is recovered exactly by the overflow
+        grow-and-replay protocol (_grow_and_replay).
+
+        During the seed pass nothing retires, so the mirror is refreshed by
+        a live scalar fetch whenever the dispatched windows could plausibly
+        have crossed the budget (self-throttling: the fetch interval scales
+        with capacity).
         """
         if not self._grow_enabled:
             return
@@ -140,12 +155,18 @@ class Normalizer:
         if headroom is None:
             return  # direct table: growth-free by construction
         budget = headroom * t.capacity
-        if self._used_bound[shard] + inflow <= budget:
-            self._used_bound[shard] += inflow
+        if self._in_seed:
+            self._unseen[shard] += inflow
+            if self._used_bound[shard] + self._unseen[shard] > budget:
+                st = self._pre_dispatch_state(shard)
+                if st is not None and st.used is not None:
+                    self._used_bound[shard] = float(int(st.used))
+                self._unseen[shard] = 0.0
+        if self._used_bound[shard] <= budget:
             return
-        used = t.used_count(self.states[shard], self.seeded_lo)
+        used = int(self._used_bound[shard])
         grew = False
-        while getattr(t, "can_grow", False) and used + inflow > headroom * t.capacity:
+        while getattr(t, "can_grow", False) and used > headroom * t.capacity:
             if self.cfg.verbose or self.cfg.debug:
                 print(
                     f"Thread {shard}: Local hash table expansion triggered, "
@@ -160,15 +181,12 @@ class Normalizer:
                 f"Thread {shard}: Local hash table expansion completed "
                 f"successfully, using {used:,} of {t.capacity:,} new capacity"
             )
-        if not getattr(t, "can_grow", False) and used + inflow > t.capacity * 0.9:
+        if not getattr(t, "can_grow", False) and used > t.capacity * 0.9:
             # reference warns when still >90% full after resizing (:1099-1102)
             print(
                 f"Warning: Thread {shard}: Local hash table is still over 90% "
                 f"full after expansion ({used:,})", file=sys.stderr,
             )
-        # invariant: used at last check + every window dispatched since — the
-        # inflow that triggered this check is dispatched immediately after it
-        self._used_bound[shard] = float(used) + inflow
 
     def _pad_for(self, max_len: int) -> int:
         k = self.cfg.ksize
@@ -236,6 +254,14 @@ class Normalizer:
         nk.c:74-77: "allow user to provide a tsv of kmers ... count is not
         relevant")."""
         cfg = self.cfg
+        self._in_seed = True
+        try:
+            self._seed_impl_host()
+        finally:
+            self._in_seed = False
+
+    def _seed_impl_host(self):
+        cfg = self.cfg
         if cfg.seed_table:
             self._seed_from_tsv(cfg.seed_table)
             return
@@ -290,6 +316,9 @@ class Normalizer:
                 # get forces completion — bench.py _sync)
                 leaf = jax.tree.leaves(self.states[0])[0]
                 np.asarray(jax.device_get(leaf.ravel()[0:1]))
+                # prime the live-occupancy mirror from the seeded state
+                if self.states[0].used is not None:
+                    self._used_bound[0] = float(int(self.states[0].used))
             # replicate the seeded table to every shard (copy_hash_table
             # :908-927) — including any growth the seed pass triggered
             for s in range(1, len(self.states)):
@@ -414,6 +443,7 @@ class Normalizer:
         for fi, fpath in enumerate(cfg.forward_files):
             if resume and fi < resume.file_index:
                 continue
+            t_file = time.perf_counter()
             paired = fi < n_rev
             if paired:
                 print(
@@ -454,12 +484,15 @@ class Normalizer:
                     keep, stats, tallies = self._dispatch_queue(
                         shard, q, paired)
                 post = self._pre_dispatch_state(shard)
-                # copy the overflow scalar NOW: the state itself is donated
-                # to the next dispatch before this one retires
-                post_of = None
+                # copy the overflow/used scalars NOW: the state itself is
+                # donated to the next dispatch before this one retires
+                post_of = post_used = None
                 if post is not None and post.overflow is not None:
                     post_of = post.overflow.copy()
-                return (q, shard, keep, stats, tallies, pre, post_of)
+                if post is not None and post.used is not None:
+                    post_used = post.used.copy()
+                return (q, shard, keep, stats, tallies, pre, post_of,
+                        post_used)
 
             def flush_shard(shard: int) -> int:
                 """Dispatch shard's staged batches; retire the previous
@@ -563,9 +596,12 @@ class Normalizer:
                 if isinstance(pit, PrefetchIterator):
                     pit.close()
             records_done += drain()
+            self.file_walls.append(time.perf_counter() - t_file)
 
-            # per-file aggregation (reference :1896-1912)
-            self._refresh_unique_counts()
+            # per-file aggregation (reference :1896-1912); the unique-kmer
+            # refresh is a device reduction + sync, so it gets its own stage
+            with self.timer.stage("report"):
+                self._refresh_unique_counts()
             self.report.absorb(self.counters)
             print(
                 "Cumulative file statistics: "
@@ -651,7 +687,8 @@ class Normalizer:
         counter against the host mirror: growth there means a bucket row
         filled and the kernel dropped inserts — the results are discarded
         and the group replayed on a grown table (_grow_and_replay)."""
-        q, shard, keep, stats, tallies, pre, post_of = entry
+        q, shard, keep, stats, tallies, pre, post_of, post_used = entry
+        replayed = False
         if pre is not None and post_of is not None:
             t = self.tables[shard]
             of_post = int(post_of)
@@ -659,8 +696,14 @@ class Normalizer:
                     and self._grow_enabled and getattr(t, "can_grow", False):
                 keep, stats, tallies = self._grow_and_replay(
                     shard, q, paired, pre, of_post)
+                replayed = True
             else:
                 self._overflow_seen[shard] = of_post
+        if post_used is not None and not replayed \
+                and shard < len(self._used_bound):
+            # refresh the live-occupancy mirror (growth gating) for free:
+            # the retire already synced on this dispatch's outputs
+            self._used_bound[shard] = float(int(post_used))
         return self._retire_group(
             [x[0] for x in q], shard, keep, stats, tallies,
             [x[3] for x in q])
@@ -696,8 +739,8 @@ class Normalizer:
                 break
             cur_t, cur_pre = cur_t.grown(cur_pre)
         self._overflow_seen[shard] = of_new
-        self._used_bound[shard] = float(
-            cur_t.used_count(self.states[shard], self.seeded_lo))
+        if self.states[shard].used is not None:
+            self._used_bound[shard] = float(int(self.states[shard].used))
         self._replayed_shards.add(shard)
         return keep, stats, tallies
 
@@ -854,11 +897,18 @@ class Normalizer:
         checkpointed occupancy. Left at 0.0 the engine could dispatch up to
         headroom*capacity windows with no growth check and a table resumed
         near its trigger point could saturate (silently dropped inserts)."""
+        import jax.numpy as jnp
+
         for s, st in enumerate(self.states):
             t = self.tables[min(s, len(self.tables) - 1)]
             if getattr(t, "grow_headroom", None) is None:
                 continue
             b = float(t.used_count(st, self.seeded_lo))
+            # re-baseline the LIVE counter too: checkpoints written before
+            # the in-kernel insert counting carry a stale zero there
+            if st.used is not None:
+                self.states[s] = st._replace(
+                    used=jnp.asarray(int(b), jnp.int32))
             if s < len(self._used_bound):
                 self._used_bound[s] = b
         # mesh engines gate every growth check on bound[0] (shared descriptor):
@@ -883,7 +933,7 @@ class Normalizer:
                 self.tables[s] = type(t)(
                     t.k, rows=int(st.keys.shape[0]),
                     interpret=t.interpret, tile_rows=t.tile_rows,
-                    lanes=int(st.keys.shape[1]))
+                    lanes=int(st.keys.shape[1]), chunk=t.chunk)
             elif isinstance(t, HashedTable) \
                     and st.counts.shape[0] != t.capacity:
                 self.tables[s] = HashedTable(t.k, int(st.counts.shape[0]))

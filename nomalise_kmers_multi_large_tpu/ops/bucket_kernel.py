@@ -82,6 +82,7 @@ class BucketBatchOut(NamedTuple):
     counts: jax.Array    # int32 [rows, 128] updated counts
     high_per_read: jax.Array  # int32 [n_reads] high-window count per read
     overflow: jax.Array  # int32 [] inserts dropped (bucket full / cand >= 128)
+    inserted: jax.Array = None  # int32 [] slots newly occupied this batch
 
 
 def _onehot(cond):
@@ -215,21 +216,24 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
                 else:
                     row_cnt = G[2 * lanes:3 * lanes] * 256.0 + G[3 * lanes:]
             if "no_match" in ablate:
-                match = jnp.zeros((lanes, SUB), jnp.float32)
+                match_bf = jnp.zeros((lanes, SUB), jnp.bfloat16)
                 is_match = jnp.ones((1, SUB), jnp.float32)
                 prior = jnp.zeros((1, SUB), jnp.float32)
             else:
                 fpv1_f = fpv1.astype(jnp.float32)    # (1, SUB)
-                match = (row_fp == fpv1_f).astype(jnp.float32)  # (L, SUB)
+                eq = row_fp == fpv1_f                # (L, SUB) predicate
                 # single sublane-reduction recovers BOTH is_match and prior:
                 # counts are clamped below `offset`, and prior + offset < 2^24
-                # is f32-exact. (An MXU ones-dot reduction variant measured
-                # 6% SLOWER end-to-end — M=1 matmuls + extra bf16 casts lose
-                # to the VPU tree; docs/PERF_NOTES.md round 2.)
+                # is f32-exact; the select folds the old match-plane multiply
+                # away. (An MXU ones-dot reduction variant measured 6% SLOWER
+                # end-to-end — M=1 matmuls + extra bf16 casts lose to the VPU
+                # tree; docs/PERF_NOTES.md round 2.)
                 mboth = jnp.sum(
-                    match * (row_cnt + offset), axis=0, keepdims=True)
+                    jnp.where(eq, row_cnt + offset, 0.0),
+                    axis=0, keepdims=True)
                 is_match = jnp.where(mboth >= offset, 1.0, 0.0)  # (1, SUB)
                 prior = mboth - is_match * offset
+                match_bf = _onehot(eq)               # (L, SUB) for the delta
             ismatch_ref[i:i + 1, :] = is_match
             n_un = n_unmatched + jnp.sum(
                 jnp.where((is_match == 0.0) & valid, 1.0, 0.0))
@@ -238,7 +242,7 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
             # the compiled seed kernel entirely
             d_acc = delta_acc
             if not seed and "no_delta" not in ablate:
-                d_acc = delta_acc + mm_11(C, match.astype(jnp.bfloat16))
+                d_acc = delta_acc + mm_11(C, match_bf)
             if seed or "no_recsum" in ablate:
                 return d_acc, rec_acc, n_un
             observed = prior + rank.astype(jnp.float32)
@@ -286,9 +290,10 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
         wrote = jnp.zeros((R, lanes), jnp.float32)
         delta_ins = jnp.zeros((R, lanes), jnp.float32)
         dropped = jnp.zeros((), jnp.float32)
+        inserted = jnp.zeros((), jnp.float32)
         for i in range(subs):
             def _do_b2(args, i=i):
-                wrote, delta_ins, dropped = args
+                wrote, delta_ins, dropped, inserted = args
                 C, fpv1, rank, rid, cand, valid = decode_sub(i)
                 is_match = ismatch_ref[i:i + 1, :]
                 B_cand = _onehot(cand == l_iota)
@@ -315,18 +320,22 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
                     jnp.where((is_match == 0.0) & valid & (rank == 1)
                               & ((cand >= lanes) | jnp.logical_not(fits)),
                               1.0, 0.0))
-                return w2, d2, dr2
+                # actual writes this sub: first-of-run candidates that fit —
+                # keeps state.used LIVE so the engine can gate growth on real
+                # occupancy with no device sync
+                in2 = inserted + jnp.sum(jnp.where(insert & fits, 1.0, 0.0))
+                return w2, d2, dr2, in2
 
-            wrote, delta_ins, dropped = jax.lax.cond(
+            wrote, delta_ins, dropped, inserted = jax.lax.cond(
                 sub_out_of_tile(i), lambda args: args, _do_b2,
-                (wrote, delta_ins, dropped))
-        return wrote, delta_ins, dropped
+                (wrote, delta_ins, dropped, inserted))
+        return wrote, delta_ins, dropped, inserted
 
     def _no_insert(_):
         z = jnp.zeros((R, lanes), jnp.float32)
-        return z, z, jnp.zeros((), jnp.float32)
+        return z, z, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
 
-    wrote, delta_ins, dropped = jax.lax.cond(
+    wrote, delta_ins, dropped, inserted = jax.lax.cond(
         n_unmatched > 0.0, _insert_path, _no_insert, None)
 
     # ---- counts delta (seed inserts carry count 0: reference store_kmer
@@ -335,10 +344,12 @@ def _kernel(fp_bits: int, depth: int, chunk: int, tile_rows: int,
     delta_ref[:] += delta_acc + delta_ins
     fp_out_ref[:] = fp_out_ref[:] + wrote.astype(jnp.int32)
 
-    # ---- stats: dropped inserts (bucket overflow or candidate >= 128) ----
+    # ---- stats: dropped inserts (bucket overflow or candidate >= 128) and
+    # successful inserts (slot 1: the live-occupancy delta) ----
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
         + 128 * jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    stats_ref[:] += jnp.where(e_iota == 0, dropped, 0.0)
+    stats_ref[:] += jnp.where(e_iota == 0, dropped, 0.0) \
+        + jnp.where(e_iota == 1, inserted, 0.0)
 
     @pl.when(is_last)
     def _():
@@ -557,8 +568,9 @@ def bucket_batch(
 
     high_flat = recsum.reshape(-1)[:n_reads].astype(jnp.int32)
     overflow = stats.reshape(-1)[0].astype(jnp.int32)
+    inserted = stats.reshape(-1)[1].astype(jnp.int32)
     return BucketBatchOut(fp=fp2, counts=counts2, high_per_read=high_flat,
-                          overflow=overflow)
+                          overflow=overflow, inserted=inserted)
 
 
 # ======================================================================
@@ -599,6 +611,7 @@ class BucketBatchWideOut(NamedTuple):
     counts: jax.Array    # int32 [rows, 128]
     high_per_read: jax.Array  # int32 [n_reads]
     overflow: jax.Array  # int32 []
+    inserted: jax.Array = None  # int32 [] slots newly occupied this batch
 
 
 def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
@@ -831,9 +844,10 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
         wrote = [jnp.zeros((R, lanes), jnp.float32) for _ in range(nW)]
         delta_ins = jnp.zeros((R, lanes), jnp.float32)
         dropped = jnp.zeros((), jnp.float32)
+        inserted = jnp.zeros((), jnp.float32)
         for i in range(subs):
             def _do_b2(args, i=i):
-                *wrote, delta_ins, dropped = args
+                *wrote, delta_ins, dropped, inserted = args
                 C, fpvA, fpvB, rank, rid, cand, valid = decode_sub(i)
                 is_match = ismatch_ref[i:i + 1, :]
                 B_cand = _onehot(cand == l_iota)
@@ -858,23 +872,26 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
                     jnp.where((is_match == 0.0) & valid & (rank == 1)
                               & ((cand >= lanes) | jnp.logical_not(fits)),
                               1.0, 0.0))
-                return (*w2, d2, dr2)
+                # live-occupancy delta (see narrow kernel)
+                in2 = inserted + jnp.sum(jnp.where(insert & fits, 1.0, 0.0))
+                return (*w2, d2, dr2, in2)
 
             out = jax.lax.cond(
                 sub_out_of_tile(i), lambda args: args, _do_b2,
-                (*wrote, delta_ins, dropped))
-            *wrote, delta_ins, dropped = out
-        return (*wrote, delta_ins, dropped)
+                (*wrote, delta_ins, dropped, inserted))
+            *wrote, delta_ins, dropped, inserted = out
+        return (*wrote, delta_ins, dropped, inserted)
 
     def _no_insert(_):
         z = jnp.zeros((R, lanes), jnp.float32)
-        return (*[z] * nW, z, jnp.zeros((), jnp.float32))
+        return (*[z] * nW, z, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32))
 
     if "no_insert" in ablate:
         out = _no_insert(None)
     else:
         out = jax.lax.cond(n_unmatched > 0.0, _insert_path, _no_insert, None)
-    *wrote, delta_ins, dropped = out
+    *wrote, delta_ins, dropped, inserted = out
 
     delta_ref[:] += delta_acc + delta_ins
     # recombine per-limb f32 write accumulators in INT32 (fingerprints reach
@@ -891,7 +908,8 @@ def _kernel_wide(row_shift: int, nA: int, nB: int, bits_b: int, depth: int,
 
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
         + 128 * jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    stats_ref[:] += jnp.where(e_iota == 0, dropped, 0.0)
+    stats_ref[:] += jnp.where(e_iota == 0, dropped, 0.0) \
+        + jnp.where(e_iota == 1, inserted, 0.0)
 
     @pl.when(is_last)
     def _():
@@ -1125,5 +1143,7 @@ def bucket_batch_wide(
         fpB2 = None
     high_flat = recsum.reshape(-1)[:n_reads].astype(jnp.int32)
     overflow = stats.reshape(-1)[0].astype(jnp.int32)
+    inserted = stats.reshape(-1)[1].astype(jnp.int32)
     return BucketBatchWideOut(fpA=fpA2, fpB=fpB2, counts=counts2,
-                              high_per_read=high_flat, overflow=overflow)
+                              high_per_read=high_flat, overflow=overflow,
+                              inserted=inserted)

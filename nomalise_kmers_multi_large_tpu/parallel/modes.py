@@ -266,7 +266,8 @@ class ModeBBucketStep:
                     keyed=True, interpret=interp, rid_flat=rrid,
                     n_reads=n_reads, row_shift=shift, relaxed=relax)
                 new_state = TableState(
-                    counts=out.counts, keys=out.fpA, used=state.used,
+                    counts=out.counts, keys=out.fpA,
+                    used=state.used + jax.lax.psum(out.inserted, "data"),
                     overflow=state.overflow + jax.lax.psum(
                         out.overflow + dropped, "data"),
                     keys2=out.fpB)
@@ -280,7 +281,8 @@ class ModeBBucketStep:
                     keyed=True, interpret=interp, rid_flat=rrid,
                     n_reads=n_reads, fp_bits=shift, relaxed=relax)
                 new_state = TableState(
-                    counts=out.counts, keys=out.fp, used=state.used,
+                    counts=out.counts, keys=out.fp,
+                    used=state.used + jax.lax.psum(out.inserted, "data"),
                     overflow=state.overflow + jax.lax.psum(
                         out.overflow + dropped, "data"))
                 high_local = out.high_per_read

@@ -112,7 +112,7 @@ class BucketTable(CountTable):
     wide = False
     def __init__(self, k: int, rows: Optional[int] = None,
                  interpret: Optional[bool] = None, tile_rows: int = 128,
-                 lanes: int = 64):
+                 lanes: int = 64, chunk: int = 16384):
         if k > 15:
             raise ValueError("BucketTable currently supports k<=15 "
                              "(single-plane 30-bit codes)")
@@ -124,6 +124,10 @@ class BucketTable(CountTable):
         #: load at the 0.55 growth headroom.
         self.lanes = lanes
         self.tile_rows = min(tile_rows, self.rows)
+        #: stream elements per grid chunk; every chunk-to-tile crossing
+        #: costs an extra (mostly skipped) grid step, so bigger chunks cut
+        #: crossing overhead at the price of VMEM stream blocks
+        self.chunk = chunk
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
@@ -144,10 +148,11 @@ class BucketTable(CountTable):
     def process_batch(
         self, state: TableState, lo: jax.Array, valid: jax.Array,
         *, depth: int, windows_per_read: int, seed: bool = False,
-        chunk: int = 16384,
+        chunk: int = 0,
     ) -> tuple[TableState, BucketBatchOut]:
         """One whole-batch upsert+classify. `lo` uint32 [R, W] code planes in
         stream order, `valid` bool [R, W]. Returns per-read high counts."""
+        chunk = chunk or self.chunk
         n = lo.shape[0] * lo.shape[1]
         mixed = mix32(lo.reshape(n), 2 * self.k)
         return self.process_batch_mixed(
@@ -157,13 +162,17 @@ class BucketTable(CountTable):
     def process_batch_mixed(
         self, state: TableState, mixed: jax.Array, valid,
         *, depth: int, windows_per_read: int, seed: bool = False,
-        chunk: int = 16384, keyed: bool = False, relaxed: bool = False,
+        chunk: int = 0, keyed: bool = False, relaxed: bool = False,
+        rid_flat=None,
     ) -> tuple[TableState, BucketBatchOut]:
         """Same as process_batch but takes pre-mixed codes (uint32 [R, W]),
         e.g. from the fused ops/encode_kernel.py pass. With keyed=True the
         codes already carry the invalid-window sentinel and valid is unused
         (may be None). relaxed drops the read-id sort operand (arbitrary
-        rank attribution among batch equals, ops/bucket_kernel.py)."""
+        rank attribution among batch equals, ops/bucket_kernel.py).
+        rid_flat optionally supplies the stream read ids precomputed
+        (engine/step.py hoists them out of the step_many scan)."""
+        chunk = chunk or self.chunk
         n = mixed.shape[0] * mixed.shape[1]
         out = bucket_batch(
             state.keys, state.counts, mixed.reshape(n),
@@ -172,9 +181,12 @@ class BucketTable(CountTable):
             windows_per_read=windows_per_read, chunk=chunk,
             tile_rows=self.tile_rows, lanes=self.lanes, seed=seed,
             keyed=keyed, interpret=self.interpret, relaxed=relaxed,
+            rid_flat=rid_flat,
+            n_reads=mixed.shape[0] if rid_flat is not None else 0,
         )
         new_state = TableState(
-            counts=out.counts, keys=out.fp, used=state.used,
+            counts=out.counts, keys=out.fp,
+            used=state.used + out.inserted,   # live occupancy (in-kernel)
             overflow=state.overflow + out.overflow,
         )
         return new_state, out
@@ -218,7 +230,7 @@ class BucketTable(CountTable):
         keys2x, cnt2x, _ = _split_rows(state.keys, state.counts, fb, None)
         new = BucketTable(self.k, rows=2 * self.rows,
                           interpret=self.interpret, tile_rows=self.tile_rows,
-                          lanes=self.lanes)
+                          lanes=self.lanes, chunk=self.chunk)
         new_state = TableState(
             counts=cnt2x, keys=keys2x, used=state.used,
             overflow=state.overflow,  # keep the drop tally for reporting
@@ -291,7 +303,7 @@ class BucketTableWide(BucketTable):
 
     def __init__(self, k: int, rows: Optional[int] = None,
                  interpret: Optional[bool] = None, tile_rows: int = 128,
-                 lanes: int = 64):
+                 lanes: int = 64, chunk: int = 16384):
         if not 16 <= k <= 31:
             raise ValueError("BucketTableWide supports k=16..31")
         self.k = k
@@ -299,6 +311,7 @@ class BucketTableWide(BucketTable):
         assert self.rows >= 512, "wide bucket table needs rows >= 512"
         self.lanes = lanes
         self.tile_rows = min(tile_rows, self.rows)
+        self.chunk = chunk
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
@@ -321,7 +334,7 @@ class BucketTableWide(BucketTable):
     def process_batch(
         self, state: TableState, lo: jax.Array, valid: jax.Array,
         *, depth: int, windows_per_read: int, seed: bool = False,
-        chunk: int = 16384, hi: Optional[jax.Array] = None,
+        chunk: int = 0, hi: Optional[jax.Array] = None,
     ) -> tuple[TableState, BucketBatchOut]:
         """Non-fused entry: (hi, lo) uint32 code planes [R, W] + validity."""
         assert hi is not None, "wide table needs both code planes"
@@ -335,11 +348,12 @@ class BucketTableWide(BucketTable):
     def process_batch_keys(
         self, state: TableState, w1: jax.Array, w2: jax.Array, valid,
         *, depth: int, windows_per_read: int, seed: bool = False,
-        chunk: int = 16384, keyed: bool = False, relaxed: bool = False,
+        chunk: int = 0, keyed: bool = False, relaxed: bool = False,
     ) -> tuple[TableState, BucketBatchOut]:
         """Feistel sort words (uint32 [R, W] each) -> batch upsert+classify.
         With keyed=True the words already carry the sentinel pair for invalid
         windows (ops/encode_kernel.py encode_keys_wide) and valid is unused."""
+        chunk = chunk or self.chunk
         n = w1.shape[0] * w1.shape[1]
         out = bucket_batch_wide(
             state.keys, state.keys2, state.counts,
@@ -351,12 +365,13 @@ class BucketTableWide(BucketTable):
             keyed=keyed, interpret=self.interpret, relaxed=relaxed,
         )
         new_state = TableState(
-            counts=out.counts, keys=out.fpA, used=state.used,
+            counts=out.counts, keys=out.fpA,
+            used=state.used + out.inserted,   # live occupancy (in-kernel)
             overflow=state.overflow + out.overflow, keys2=out.fpB,
         )
         bb = BucketBatchOut(fp=out.fpA, counts=out.counts,
                             high_per_read=out.high_per_read,
-                            overflow=out.overflow)
+                            overflow=out.overflow, inserted=out.inserted)
         return new_state, bb
 
     def process_batch_mixed(self, *a, **kw):
@@ -380,7 +395,8 @@ class BucketTableWide(BucketTable):
             state.keys, state.counts, row_shift, state.keys2)
         new = BucketTableWide(self.k, rows=2 * self.rows,
                               interpret=self.interpret,
-                              tile_rows=self.tile_rows, lanes=self.lanes)
+                              tile_rows=self.tile_rows, lanes=self.lanes,
+                              chunk=self.chunk)
         return new, TableState(counts=cnt2x, keys=keys2x, used=state.used,
                                overflow=state.overflow, keys2=keysb2x)
 
