@@ -17,11 +17,15 @@ import os
 import re
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+# the axon sitecustomize pins jax_platforms via config (beats the env var):
+# always pin CPU + 8 virtual devices explicitly BEFORE backend init
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 
 from nomalise_kmers_multi_large_tpu.engine.step import BatchStep
@@ -35,20 +39,23 @@ K = 13
 READS = 64          # tiny: CPU interpret mode
 PAD = 32
 
-_COLL = re.compile(
-    r"(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
-    r"[^=]*=\s*(\S+)\s", re.I)
+_OPS = ("all-reduce", "all-gather", "all-to-all", "collective-permute",
+        "reduce-scatter")
 
 
 def _inventory(hlo: str) -> dict:
-    """Collective op -> list of result shapes in a compiled HLO dump."""
+    """Collective op -> list of result types in a compiled HLO dump.
+
+    Line-based and tolerant: matches sync and async (-start) forms, and
+    takes everything between '=' and the op name as the result type."""
     out: dict[str, list[str]] = {}
     for line in hlo.splitlines():
-        line = line.strip()
-        m = re.match(r"%?\S+\s*=\s*(\S+?)\s+(all-reduce|all-gather|all-to-all"
-                     r"|collective-permute|reduce-scatter)", line)
-        if m:
-            out.setdefault(m.group(2), []).append(m.group(1))
+        for op in _OPS:
+            if f" {op}(" in line or f" {op}-start(" in line:
+                m = re.search(r"=\s*(.*?)\s*" + op, line)
+                shape = m.group(1).strip() if m else "?"
+                out.setdefault(op, []).append(shape or "?")
+                break
     return out
 
 
