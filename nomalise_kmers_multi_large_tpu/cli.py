@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--prefetch", type=int, default=2,
                      help="host batches framed+packed ahead on a worker "
                           "thread, overlapping device compute (0 = inline)")
+    tpu.add_argument("--io-threads", type=int, default=0,
+                     help="threads in the native frame/pack pool "
+                          "(io/_fastx.c); 0 = all cores")
     tpu.add_argument("--mode", choices=["exact", "relaxed"], default="exact",
                      help="exact = reference-sequential semantics via sort-based "
                           "ranks; relaxed = pair-local ranks (batch-order independent)")
@@ -129,6 +132,7 @@ def config_from_args(argv=None) -> Config:
         batch_reads=args.batch_reads,
         dispatch_group=args.dispatch_group,
         prefetch=args.prefetch,
+        io_threads=args.io_threads,
         mode=args.mode,
         table=args.table,
         out_dir=args.out_dir,

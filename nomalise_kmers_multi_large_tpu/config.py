@@ -81,6 +81,9 @@ class Config:
     prefetch: int = 2                    # host frame+pack batches prepared
                                          # ahead on a worker thread
                                          # (utils/prefetch.py); 0 = inline
+    io_threads: int = 0                  # native frame/pack pthread pool
+                                         # width (io/_fastx.c); 0 = all
+                                         # cores (NKMT_IO_THREADS overrides)
     n_devices: int = 0                   # 0 => all local devices
     sharding: Literal["local", "global"] = "local"  # Mode A vs Mode B
     spectrum: bool = False               # print k-mer spectrum stats at the end

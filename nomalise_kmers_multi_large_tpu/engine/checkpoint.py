@@ -50,6 +50,7 @@ class ResumePoint:
     output_sizes: dict         # path -> byte size at snapshot
     rr: int                    # round-robin cursor
     seeded_lo: Optional[np.ndarray]
+    shadows: Optional[list] = None  # per-shard debug>2 shadow counts
 
 
 class CheckpointManager:
@@ -62,8 +63,21 @@ class CheckpointManager:
 
     # ------------------------------------------------------------------
     def save(self, states, counters, file_index: int, records_done: int,
-             output_paths: list[str], rr: int, seeded_lo=None):
+             output_paths: list[str], rr: int, seeded_lo=None,
+             shadows=None):
         os.makedirs(self.dir, exist_ok=True)
+        if shadows is not None:
+            # --debug>2 host shadow tables ride the snapshot so upsert
+            # counts stay ABSOLUTE across a resume (round-4 advisor item)
+            for s, sh in enumerate(shadows):
+                codes = np.fromiter(sh.counts.keys(), np.uint64,
+                                    len(sh.counts))
+                vals = np.fromiter(sh.counts.values(), np.int64,
+                                   len(sh.counts))
+                fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".npz.tmp")
+                with os.fdopen(fd, "wb") as f:
+                    np.savez(f, codes=codes, vals=vals)
+                os.replace(tmp, os.path.join(self.dir, f"shadow{s}.npz"))
         for s, state in enumerate(states):
             arrays = {"counts": np.asarray(state.counts),
                       "used": np.asarray(state.used),
@@ -129,6 +143,13 @@ class CheckpointManager:
         seed_path = os.path.join(self.dir, "seeded_lo.npy")
         if os.path.exists(seed_path):
             seeded = np.load(seed_path)
+        shadows = None
+        if os.path.exists(os.path.join(self.dir, "shadow0.npz")):
+            shadows = []
+            for s in range(self.cfg.shards):
+                z = np.load(os.path.join(self.dir, f"shadow{s}.npz"))
+                shadows.append(dict(zip(z["codes"].tolist(),
+                                        z["vals"].tolist())))
         rp = ResumePoint(
             file_index=manifest["file_index"],
             records_done=manifest["records_done"],
@@ -136,5 +157,6 @@ class CheckpointManager:
             output_sizes=manifest["output_sizes"],
             rr=manifest.get("rr", 0),
             seeded_lo=seeded,
+            shadows=shadows,
         )
         return states, rp

@@ -23,8 +23,10 @@ bucket table never probes (bijective mix, exact fingerprints); its role is
 served by the debug >= 3 decode(encode) batch self-checks
 (pipeline._debug_roundtrip).
 
-Not resumable: after --resume the shadow restarts empty, so upsert counts
-printed after a resume are relative to the resume point (the pipeline warns).
+Resumable: the shadow's counts ride the checkpoint (engine/checkpoint.py
+shadow{N}.npz), so upsert counts stay absolute across --resume; only a
+checkpoint written before shadow snapshots existed triggers the
+relative-counts warning.
 """
 from __future__ import annotations
 

@@ -222,10 +222,12 @@ class Normalizer:
                 max(batch.fwd.seq_len.max(initial=0), batch.rev.seq_len.max(initial=0))
             )
             fb, fl = pack_batch(
-                batch.fwd_file.data, batch.fwd.seq_start, batch.fwd.seq_len, pad, min_len
+                batch.fwd_file.data, batch.fwd.seq_start, batch.fwd.seq_len,
+                pad, min_len, threads=cfg.io_threads,
             )
             rb, rl = pack_batch(
-                batch.rev_file.data, batch.rev.seq_start, batch.rev.seq_len, pad, min_len
+                batch.rev_file.data, batch.rev.seq_start, batch.rev.seq_len,
+                pad, min_len, threads=cfg.io_threads,
             )
             # reference drops the whole pair if EITHER mate is short (:1551-1566)
             rec_valid = (fl > 0) & (rl > 0)
@@ -241,7 +243,8 @@ class Normalizer:
             return bases, lengths, rec_valid
         pad = self._pad_for(batch.fwd.seq_len.max(initial=0))
         fb, fl = pack_batch(
-            batch.fwd_file.data, batch.fwd.seq_start, batch.fwd.seq_len, pad, min_len
+            batch.fwd_file.data, batch.fwd.seq_start, batch.fwd.seq_len,
+            pad, min_len, threads=cfg.io_threads,
         )
         return fb, fl, fl > 0
 
@@ -274,7 +277,7 @@ class Normalizer:
 
         seed_codes: list[np.ndarray] = []
         for path in files:
-            fx = FastxFile(path, cfg.is_input_fastq)
+            fx = FastxFile(path, cfg.is_input_fastq, cfg.io_threads)
             remaining = n_seed
             for batch in batch_iterator(fx, min(cfg.batch_reads, n_seed)):
                 take = min(len(batch), remaining)
@@ -413,11 +416,17 @@ class Normalizer:
                     f"{resume.records_done:,} records done"
                 )
                 if self._shadows is not None:
-                    print(
-                        "Warning: --debug>2 upsert lines after a resume "
-                        "count from the resume point (the host shadow table "
-                        "is not checkpointed)", file=sys.stderr,
-                    )
+                    if resume.shadows is not None:
+                        # restore the per-shard debug>2 shadow tables: upsert
+                        # counts stay ABSOLUTE across the resume
+                        for sh, counts in zip(self._shadows, resume.shadows):
+                            sh.counts = counts
+                    else:
+                        print(
+                            "Warning: --debug>2 upsert lines after a resume "
+                            "count from the resume point (this checkpoint "
+                            "predates shadow snapshots)", file=sys.stderr,
+                        )
         if resume is None:
             self.seed()
             if cfg.print_table:
@@ -450,15 +459,15 @@ class Normalizer:
                     f"Processing file pair {fi + 1} of {len(cfg.forward_files)}: "
                     f"{fpath} and {cfg.reverse_files[fi]}"
                 )
-                fx = FastxFile(fpath, cfg.is_input_fastq)
-                rx = FastxFile(cfg.reverse_files[fi], cfg.is_input_fastq)
+                fx = FastxFile(fpath, cfg.is_input_fastq, cfg.io_threads)
+                rx = FastxFile(cfg.reverse_files[fi], cfg.is_input_fastq, cfg.io_threads)
                 it = paired_batch_iterator(fx, rx, cfg.batch_reads)
             else:
                 print(
                     f"Processing single-ended file {fi + 1} of "
                     f"{len(cfg.forward_files)}: {fpath}"
                 )
-                fx = FastxFile(fpath, cfg.is_input_fastq)
+                fx = FastxFile(fpath, cfg.is_input_fastq, cfg.io_threads)
                 it = batch_iterator(fx, cfg.batch_reads)
             sys.stdout.flush()
 
@@ -659,7 +668,8 @@ class Normalizer:
         self._refresh_unique_counts()
         paths = [p for w in self.writers for p in w.paths()]
         ckpt.save(self._states_for_checkpoint(), self.counters, file_index,
-                  records_done, paths, rr, self.seeded_lo)
+                  records_done, paths, rr, self.seeded_lo,
+                  shadows=self._shadows)
 
     def _pre_dispatch_state(self, shard: int):
         """State handle bracketing a dispatch for the overflow grow-and-replay

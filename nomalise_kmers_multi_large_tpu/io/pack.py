@@ -31,6 +31,7 @@ def pack_batch(
     seq_lens: np.ndarray,
     pad_len: int,
     min_len: int,
+    threads: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Gather+encode sequences into a fixed-width base-code matrix.
 
@@ -57,7 +58,8 @@ def pack_batch(
 
     from nomalise_kmers_multi_large_tpu.io import native
 
-    got = native.pack(data, seq_starts, seq_lens, pad_len, min_len)
+    got = native.pack(data, seq_starts, seq_lens, pad_len, min_len,
+                      threads=threads)
     if got is not None:
         return got
 

