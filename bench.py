@@ -208,7 +208,7 @@ def _write_fastq(path, seqs, qual_char=b"I"):
         f.write(b"".join(rows))
 
 
-def main_e2e(n_pairs: int = 100_000):
+def main_e2e(n_pairs: int = 300_000):
     """End-to-end benchmark: real files through the real engine, on a
     workload that actually CROSSES depth (round-3 verdict item 4: the old
     4096-transcript/depth-100 pool never skipped one read, so the

@@ -701,7 +701,10 @@ class Normalizer:
         replayed = False
         if pre is not None and post_of is not None:
             t = self.tables[shard]
-            of_post = int(post_of)
+            with self.timer.stage("device_wait"):
+                # first sync point on this dispatch: blocks until the group
+                # completes (the scalar itself is trivial)
+                of_post = int(post_of)
             if of_post > self._overflow_seen[shard] \
                     and self._grow_enabled and getattr(t, "can_grow", False):
                 keep, stats, tallies = self._grow_and_replay(
