@@ -214,6 +214,25 @@ def main(argv=None) -> int:
         f"{cfg.shards} shards\n"
     )
 
+    if cfg.table_kind == "bucket" and 25 <= cfg.ksize <= 28:
+        # the wide kernel packs the read id into spare w2 sort bits only
+        # when 2k-32 + ceil(log2(reads/batch)) <= 31, replacing the 3-key
+        # sort with a 2-key one (+~19% measured at k=25,
+        # docs/PERF_NOTES.md round 5); surface the batch size that enables
+        # it rather than silently overriding the user's choice
+        import math
+
+        rpr = 2 if cfg.reverse_files else 1
+        reads = cfg.batch_reads * rpr
+        spare = 63 - 2 * cfg.ksize
+        if math.ceil(math.log2(max(reads, 2))) > spare:
+            best_reads = 1 << spare
+            print(
+                f"NOTE: at k={cfg.ksize}, --batch-reads "
+                f"{best_reads // rpr} would fit the read id into the sort "
+                f"key's spare bits (2-operand sort instead of 3; ~19% "
+                f"faster at k=25)", file=sys.stderr)
+
     ndev = cfg.n_devices or jax.device_count()
     if ndev > 1:
         from nomalise_kmers_multi_large_tpu.parallel.engine import MeshNormalizer
