@@ -76,3 +76,25 @@ def test_assign_files_round_robin():
     assert f0 == ("a", "c", "e") and r0 == ("A", "C")
     assert f1 == ("b", "d") and r1 == ("B",)
     assert set(f0) | set(f1) == set(f)
+
+
+def test_k25_batch_hint_printed(tmp_path, capsys):
+    """k=25..28 on the bucket table with a batch too big for rid packing
+    prints the 2-operand-sort batch-size hint (docs/PERF_NOTES.md round 5);
+    a fitting batch stays silent."""
+    rc = main([
+        "-f", str(T / "2seq.fastq"), "--single", "-k", "25", "-d", "2",
+        "--out-dir", str(tmp_path), "--devices", "1", "--table", "bucket",
+        "--batch-reads", "16384",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "spare bits" in err and "--batch-reads 8192" in err
+
+    rc = main([
+        "-f", str(T / "2seq.fastq"), "--single", "-k", "25", "-d", "2",
+        "--out-dir", str(tmp_path / "ok"), "--devices", "1",
+        "--table", "bucket", "--batch-reads", "8192",
+    ])
+    assert rc == 0
+    assert "spare bits" not in capsys.readouterr().err
