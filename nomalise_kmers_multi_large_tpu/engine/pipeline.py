@@ -495,11 +495,10 @@ class Normalizer:
                 post = self._pre_dispatch_state(shard)
                 # copy the overflow/used scalars NOW: the state itself is
                 # donated to the next dispatch before this one retires
-                post_of = post_used = None
+                post_of = None
                 if post is not None and post.overflow is not None:
                     post_of = post.overflow.copy()
-                if post is not None and post.used is not None:
-                    post_used = post.used.copy()
+                post_used = self._post_used_scalar(shard)
                 return (q, shard, keep, stats, tallies, pre, post_of,
                         post_used)
 
@@ -679,6 +678,16 @@ class Normalizer:
         if not self.states or shard >= len(self.states):
             return None
         return self.states[shard]
+
+    def _post_used_scalar(self, shard: int):
+        """Live-occupancy scalar of the state a dispatch just produced,
+        copied out before donation can consume it; retires feed it into the
+        growth-gating mirror. Mesh engines override (fullest shard / global
+        table)."""
+        st = self._pre_dispatch_state(shard)
+        if st is None or st.used is None:
+            return None
+        return st.used.copy()
 
     def _replay_snapshot(self, shard: int):
         """Device-side copy of the shard state, the replay source for

@@ -133,6 +133,20 @@ class MeshNormalizer(Normalizer):
     def _queue_for(self, rr: int) -> int:
         return 0  # one staging queue: every dispatch spans all devices
 
+    def _post_used_scalar(self, shard: int):
+        """Live-occupancy feed for the growth mirror: the FULLEST shard's
+        used (Mode A stacked states) or the global table's (Mode B). The
+        max/copy is one tiny async device op per group dispatch."""
+        import jax.numpy as jnp
+
+        if self.mode_b:
+            if self._global_state is not None \
+                    and self._global_state.used is not None:
+                return self._global_state.used.copy()
+        elif self._stacked is not None and self._stacked.used is not None:
+            return jnp.max(self._stacked.used)
+        return super()._post_used_scalar(shard)
+
     def _maybe_grow(self, shard: int, inflow: int):
         import jax
         import jax.numpy as jnp
@@ -152,25 +166,25 @@ class MeshNormalizer(Normalizer):
         if self._stacked is None:
             return
         # Mode A mid-stream growth: every shard shares one table descriptor,
-        # so all stacked shard states grow TOGETHER when the fullest shard
-        # approaches headroom (reference expand_local_hash_table semantics
-        # per thread, nk.c:933-934, :1055-1108).
+        # so all stacked shard states grow TOGETHER when the fullest shard's
+        # LIVE occupancy (the kernel-counted used, mirrored at every retire
+        # via _post_used_scalar — see the base-class rationale for dropping
+        # the old worst-case-inflow bound) crosses the headroom (reference
+        # expand_local_hash_table semantics per thread, nk.c:933-934).
         t = self.tables[0]
         headroom = getattr(t, "grow_headroom", None)
         if headroom is None:
             return
-        per_shard = inflow / max(self.ndev, 1)  # round-robin deal
-        if self._used_bound[0] + per_shard <= headroom * t.capacity:
-            self._used_bound[0] += per_shard
+        used = int(self._used_bound[0])  # fullest shard at last retire
+        if used <= headroom * t.capacity:
             return
         shard_states = [
             jax.tree.map(lambda x, i=i: x[i], self._stacked)
             for i in range(self.ndev)
         ]
-        used = max(t.used_count(st, self.seeded_lo) for st in shard_states)
         grew = False
         while getattr(t, "can_grow", False) \
-                and used + per_shard > headroom * t.capacity:
+                and used > headroom * t.capacity:
             if self.cfg.verbose or self.cfg.debug:
                 print(
                     f"Mesh: Local hash table expansion triggered on all "
@@ -194,15 +208,11 @@ class MeshNormalizer(Normalizer):
             # old descriptors are baked into the compiled mode steps: rebuild
             self._mode_steps.clear()
             self._steps_cache.clear()
-        if not getattr(t, "can_grow", False) \
-                and used + per_shard > t.capacity * 0.9:
+        if not getattr(t, "can_grow", False) and used > t.capacity * 0.9:
             print(
                 f"Warning: Mesh: shard tables are still over 90% full after "
                 f"expansion ({used:,})", file=sys.stderr,
             )
-        # invariant: used at last check + every window dispatched since —
-        # include the inflow dispatched immediately after this check
-        self._used_bound[0] = float(used) + per_shard
 
     def _maybe_grow_global(self, inflow: int):
         """Mode B bucket: grow the ONE global table (all row shards double
@@ -217,14 +227,15 @@ class MeshNormalizer(Normalizer):
         headroom = getattr(t, "grow_headroom", None)
         if headroom is None:
             return
-        if self._used_bound[0] + inflow <= headroom * t.capacity:
-            self._used_bound[0] += inflow
+        # live-occupancy mirror (global table's kernel-counted used,
+        # refreshed at every retire) — see the base-class rationale
+        used = int(self._used_bound[0])
+        if used <= headroom * t.capacity:
             return
-        used = t.used_count(self._global_state, self.seeded_lo)
         grew = False
         state = self._global_state
         while getattr(t, "can_grow", False) \
-                and used + inflow > headroom * t.capacity:
+                and used > headroom * t.capacity:
             if self.cfg.verbose or self.cfg.debug:
                 print(
                     f"Mesh: global bucket table expansion triggered, from "
@@ -241,12 +252,10 @@ class MeshNormalizer(Normalizer):
             # old descriptors are baked into the compiled mode steps: rebuild
             self._mode_steps.clear()
             self._steps_cache.clear()
-        if not getattr(t, "can_grow", False) \
-                and used + inflow > t.capacity * 0.9:
+        if not getattr(t, "can_grow", False) and used > t.capacity * 0.9:
             print(
                 f"Warning: Mesh: global table is still over 90% full after "
                 f"expansion ({used:,})", file=sys.stderr)
-        self._used_bound[0] = float(used) + inflow
 
     def _dispatch_queue(self, shard: int, q: list, paired: bool):
         import jax.numpy as jnp
